@@ -1,0 +1,476 @@
+"""Functional JAX BART trunk with a multimodal encoder.
+
+Parity targets in the reference:
+  - ``MultiModalBartModel`` (src/model/model.py:27-114): shared embedding,
+    multimodal encoder + text decoder, mask preparation, KV-cache pass-through.
+  - ``MultiModalBartEncoder`` / ``ImageEmbedding`` (src/model/modules.py:19-165):
+    2052->d_model projection and the splice of projected ROI vectors into the
+    token-embedding rows whose input id is ``img_feat_id`` or ``cls_token_id``.
+  - The HF 3.0.2 BART internals the reference inherits (EncoderLayer,
+    BartDecoder, LearnedPositionalEmbedding with the ``+2`` offset,
+    SinusoidalPositionalEmbedding, causal/padding mask preparation).
+
+TPU-first design decisions (not a port):
+  - Parameters are a plain pytree of fp32 arrays; per-layer weights are
+    stacked on a leading layer axis and executed with ``lax.scan`` — one
+    compiled layer body regardless of depth (fast compiles, good XLA fusion).
+  - The ragged list-of-ROI-tensors of the reference becomes a fixed-shape
+    ``[B, max_img, feat]`` tensor; the row splice is a vectorised
+    cumsum-gather-select (no scatter, no dynamic shapes).
+  - Decode runs with a preallocated static KV cache written via
+    ``dynamic_update_slice`` so the whole decode loop jits into a single
+    ``lax.while_loop`` (see generation/decode.py).
+  - bf16 matmuls / fp32 params, softmax + layernorm in fp32 (ops/layers.py).
+  - Optional ``jax.checkpoint`` rematerialisation per layer (config.remat).
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kmbart_tpu.config import MultiModalBartConfig
+from kmbart_tpu.ops.attention import (
+    causal_bias,
+    multi_head_attention,
+    padding_bias,
+    split_heads,
+    NEG_INF,
+)
+from kmbart_tpu.ops.layers import ACTIVATIONS, dense, dropout, layer_norm
+
+
+# --------------------------------------------------------------------------
+# Parameter initialisation
+# --------------------------------------------------------------------------
+
+def _linear_init(rng, shape, std):
+    return jax.random.normal(rng, shape, dtype=jnp.float32) * std
+
+
+def _ln_init(dim):
+    return {"scale": jnp.ones((dim,), jnp.float32),
+            "bias": jnp.zeros((dim,), jnp.float32)}
+
+
+def _stacked_attn_init(rng, n_layers, d_model, std):
+    ks = jax.random.split(rng, 4)
+    return {
+        "q_kernel": _linear_init(ks[0], (n_layers, d_model, d_model), std),
+        "q_bias": jnp.zeros((n_layers, d_model), jnp.float32),
+        "k_kernel": _linear_init(ks[1], (n_layers, d_model, d_model), std),
+        "k_bias": jnp.zeros((n_layers, d_model), jnp.float32),
+        "v_kernel": _linear_init(ks[2], (n_layers, d_model, d_model), std),
+        "v_bias": jnp.zeros((n_layers, d_model), jnp.float32),
+        "o_kernel": _linear_init(ks[3], (n_layers, d_model, d_model), std),
+        "o_bias": jnp.zeros((n_layers, d_model), jnp.float32),
+    }
+
+
+def _stacked_ln_init(n_layers, dim):
+    return {"scale": jnp.ones((n_layers, dim), jnp.float32),
+            "bias": jnp.zeros((n_layers, dim), jnp.float32)}
+
+
+def _sinusoidal_table(n_pos, dim):
+    """SinusoidalPositionalEmbedding weights (HF 3.0.2 layout: sin | cos halves)."""
+    position = np.arange(n_pos)[:, None]
+    div = np.exp(np.arange(0, dim, 2) * -(math.log(10000.0) / dim))
+    out = np.zeros((n_pos, dim), dtype=np.float32)
+    sentinel = dim // 2 if dim % 2 == 0 else (dim // 2) + 1
+    out[:, :sentinel] = np.sin(position * div)
+    out[:, sentinel:] = np.cos(position * div)
+    return jnp.asarray(out)
+
+
+def init_bart_params(rng, cfg: MultiModalBartConfig) -> dict:
+    """Initialise the full trunk (normal(0, init_std); LN identity; pad row 0)."""
+    keys = jax.random.split(rng, 16)
+    std = cfg.init_std
+    d = cfg.d_model
+
+    shared = _linear_init(keys[0], (cfg.vocab_size, d), std)
+    shared = shared.at[cfg.pad_token_id].set(0.0)
+
+    if cfg.static_position_embeddings:
+        enc_pos = _sinusoidal_table(cfg.max_position_embeddings, d)
+        dec_pos = enc_pos
+    else:
+        n_pos = cfg.max_position_embeddings + cfg.extra_pos_embeddings
+        enc_pos = _linear_init(keys[1], (n_pos, d), std)
+        dec_pos = _linear_init(keys[2], (n_pos, d), std)
+
+    def _layers(rng, n_layers, ffn_dim, cross_attn):
+        ks = jax.random.split(rng, 8)
+        layers = {
+            "self_attn": _stacked_attn_init(ks[0], n_layers, d, std),
+            "self_attn_layer_norm": _stacked_ln_init(n_layers, d),
+            "fc1_kernel": _linear_init(ks[1], (n_layers, d, ffn_dim), std),
+            "fc1_bias": jnp.zeros((n_layers, ffn_dim), jnp.float32),
+            "fc2_kernel": _linear_init(ks[2], (n_layers, ffn_dim, d), std),
+            "fc2_bias": jnp.zeros((n_layers, d), jnp.float32),
+            "final_layer_norm": _stacked_ln_init(n_layers, d),
+        }
+        if cross_attn:
+            layers["encoder_attn"] = _stacked_attn_init(ks[3], n_layers, d, std)
+            layers["encoder_attn_layer_norm"] = _stacked_ln_init(n_layers, d)
+        return layers
+
+    params = {
+        "shared": shared,
+        "encoder": {
+            "embed_positions": enc_pos,
+            "embed_images": {
+                "kernel": _linear_init(keys[3], (cfg.image_feature_size, d), std),
+                "bias": jnp.zeros((d,), jnp.float32),
+            },
+            "layers": _layers(keys[4], cfg.encoder_layers, cfg.encoder_ffn_dim, False),
+        },
+        "decoder": {
+            "embed_positions": dec_pos,
+            "layers": _layers(keys[5], cfg.decoder_layers, cfg.decoder_ffn_dim, True),
+        },
+    }
+    if cfg.normalize_embedding:
+        params["encoder"]["layernorm_embedding"] = _ln_init(d)
+        params["decoder"]["layernorm_embedding"] = _ln_init(d)
+    if cfg.normalize_before:  # mbart-style extra encoder LN
+        params["encoder"]["layer_norm"] = _ln_init(d)
+    if cfg.add_final_layer_norm:
+        params["decoder"]["layer_norm"] = _ln_init(d)
+    return params
+
+
+# --------------------------------------------------------------------------
+# Multimodal embedding splice
+# --------------------------------------------------------------------------
+
+def embed_multimodal(params, cfg, input_ids, image_features, dtype):
+    """Token embeddings with projected ROI features spliced into image rows.
+
+    Reference semantics (src/model/modules.py:89-102): every position whose
+    id is ``img_feat_id`` or ``cls_token_id`` receives the next ROI vector of
+    that example, in order. Fixed-shape version: ``image_features`` is
+    [B, max_img, image_feature_size]; the i-th image-token position of row b
+    takes ``image_features[b, i]`` via a cumsum-indexed gather.
+    """
+    tok = jnp.take(params["shared"], input_ids, axis=0)
+
+    if image_features is None:
+        return tok
+
+    mask = (input_ids == cfg.img_feat_id) | (input_ids == cfg.cls_token_id)
+    img = dense(image_features, params["encoder"]["embed_images"]["kernel"],
+                params["encoder"]["embed_images"]["bias"], dtype)  # [B, N, D]
+    slot = jnp.cumsum(mask.astype(jnp.int32), axis=1) - 1
+    slot = jnp.clip(slot, 0, image_features.shape[1] - 1)
+    gathered = jnp.take_along_axis(img, slot[..., None], axis=1)
+    return jnp.where(mask[..., None], gathered, tok)
+
+
+def _positions(table, length, offset, start=0):
+    idx = start + jnp.arange(length) + offset
+    return jnp.take(table, idx, axis=0)
+
+
+# --------------------------------------------------------------------------
+# Layer bodies (scanned)
+# --------------------------------------------------------------------------
+
+def _residual_ffn(x, lp, cfg, rngs, train, dtype, act):
+    residual = x
+    h = dense(x, lp["fc1_kernel"], lp["fc1_bias"], dtype)
+    h = act(h)
+    h = dropout(h, cfg.activation_dropout, rngs.get("act"), train)
+    h = dense(h, lp["fc2_kernel"], lp["fc2_bias"], dtype)
+    h = dropout(h, cfg.dropout, rngs.get("ffn"), train)
+    return layer_norm(residual + h, lp["final_layer_norm"]["scale"],
+                      lp["final_layer_norm"]["bias"])
+
+
+def _rngs_for(rng, names):
+    if rng is None:
+        return {n: None for n in names}
+    subkeys = jax.random.split(rng, len(names))
+    return dict(zip(names, subkeys))
+
+
+def _encoder_layer(x, lp, attn_bias, cfg, rng, train, dtype, act):
+    rngs = _rngs_for(rng, ["attn", "res1", "act", "ffn"])
+    residual = x
+    h, _ = multi_head_attention(
+        lp["self_attn"], x, bias=attn_bias,
+        num_heads=cfg.encoder_attention_heads,
+        dropout_rate=cfg.attention_dropout, rng=rngs["attn"],
+        train=train, dtype=dtype)
+    h = dropout(h, cfg.dropout, rngs["res1"], train)
+    x = layer_norm(residual + h, lp["self_attn_layer_norm"]["scale"],
+                   lp["self_attn_layer_norm"]["bias"])
+    return _residual_ffn(x, lp, cfg, rngs, train, dtype, act)
+
+
+def _decoder_layer(x, lp, self_bias, cross_bias, enc_hidden, cfg, rng, train,
+                   dtype, act, cache=None, cache_index=None):
+    rngs = _rngs_for(rng, ["attn", "res1", "xattn", "res2", "act", "ffn"])
+    new_cache = None
+
+    residual = x
+    h, self_cache = multi_head_attention(
+        lp["self_attn"], x, bias=self_bias,
+        num_heads=cfg.decoder_attention_heads,
+        dropout_rate=cfg.attention_dropout, rng=rngs["attn"],
+        train=train, dtype=dtype,
+        cache=None if cache is None else cache["self"],
+        cache_index=cache_index)
+    h = dropout(h, cfg.dropout, rngs["res1"], train)
+    x = layer_norm(residual + h, lp["self_attn_layer_norm"]["scale"],
+                   lp["self_attn_layer_norm"]["bias"])
+
+    residual = x
+    if cache is not None:
+        # decode: reuse precomputed cross K/V
+        h, _ = multi_head_attention(
+            lp["encoder_attn"], x, bias=cross_bias,
+            num_heads=cfg.decoder_attention_heads,
+            dropout_rate=cfg.attention_dropout, rng=rngs["xattn"],
+            train=train, dtype=dtype, cache=cache["cross"], cache_index=None)
+        new_cache = {"self": self_cache, "cross": cache["cross"]}
+    else:
+        h, _ = multi_head_attention(
+            lp["encoder_attn"], x, kv_hidden=enc_hidden, bias=cross_bias,
+            num_heads=cfg.decoder_attention_heads,
+            dropout_rate=cfg.attention_dropout, rng=rngs["xattn"],
+            train=train, dtype=dtype)
+    h = dropout(h, cfg.dropout, rngs["res2"], train)
+    x = layer_norm(residual + h, lp["encoder_attn_layer_norm"]["scale"],
+                   lp["encoder_attn_layer_norm"]["bias"])
+
+    return _residual_ffn(x, lp, cfg, rngs, train, dtype, act), new_cache
+
+
+def _maybe_layerdrop(x_new, x_old, p, rng, train):
+    """HF LayerDrop: during training skip a layer with probability p."""
+    if not train or p == 0.0 or rng is None:
+        return x_new
+    drop = jax.random.bernoulli(rng, p=p)
+    return jnp.where(drop, x_old, x_new)
+
+
+# --------------------------------------------------------------------------
+# Encoder / decoder
+# --------------------------------------------------------------------------
+
+def encode(params, cfg: MultiModalBartConfig, input_ids, image_features=None,
+           attention_mask=None, *, train=False, rng=None):
+    """Multimodal encoder forward. Returns [B, T, D] fp32 hidden states."""
+    dtype = jnp.dtype(cfg.dtype)
+    act = ACTIVATIONS[cfg.activation_function]
+    B, T = input_ids.shape
+
+    embed_scale = math.sqrt(cfg.d_model) if cfg.scale_embedding else 1.0
+    x = embed_multimodal(params, cfg, input_ids, image_features, dtype) * embed_scale
+    offset = 0 if cfg.static_position_embeddings else cfg.extra_pos_embeddings
+    x = x + _positions(params["encoder"]["embed_positions"], T, offset)[None]
+    if cfg.normalize_embedding:
+        ln = params["encoder"]["layernorm_embedding"]
+        x = layer_norm(x, ln["scale"], ln["bias"])
+    if rng is not None:
+        rng, sub = jax.random.split(rng)
+        x = dropout(x, cfg.dropout, sub, train)
+
+    bias = None if attention_mask is None else padding_bias(attention_mask)
+
+    def body(carry, scanned):
+        x, rng = carry
+        lp, i = scanned
+        if rng is not None:
+            lrng = jax.random.fold_in(rng, i)
+            lrng, drop_rng = jax.random.split(lrng)
+        else:
+            lrng = drop_rng = None
+        y = _encoder_layer(x, lp, bias, cfg, lrng, train, dtype, act)
+        y = _maybe_layerdrop(y, x, cfg.encoder_layerdrop, drop_rng, train)
+        return (y, rng), None
+
+    if cfg.remat:
+        body = jax.checkpoint(body)
+    n_layers = cfg.encoder_layers
+    (x, _), _ = jax.lax.scan(
+        body, (x, rng), (params["encoder"]["layers"], jnp.arange(n_layers)))
+
+    if cfg.normalize_before:
+        ln = params["encoder"]["layer_norm"]
+        x = layer_norm(x, ln["scale"], ln["bias"])
+    return x
+
+
+def _decoder_embed(params, cfg, decoder_input_ids, pos_start, train, rng):
+    dtype = jnp.dtype(cfg.dtype)
+    embed_scale = math.sqrt(cfg.d_model) if cfg.scale_embedding else 1.0
+    T = decoder_input_ids.shape[1]
+    x = jnp.take(params["shared"], decoder_input_ids, axis=0) * embed_scale
+    offset = 0 if cfg.static_position_embeddings else cfg.extra_pos_embeddings
+    x = x + _positions(params["decoder"]["embed_positions"], T, offset,
+                       start=pos_start)[None]
+    if cfg.normalize_embedding:
+        ln = params["decoder"]["layernorm_embedding"]
+        x = layer_norm(x, ln["scale"], ln["bias"])
+    if rng is not None:
+        rng, sub = jax.random.split(rng)
+        x = dropout(x, cfg.dropout, sub, train)
+    return x, rng
+
+
+def decode(params, cfg: MultiModalBartConfig, decoder_input_ids, enc_hidden,
+           enc_attention_mask=None, decoder_attention_mask=None, *,
+           train=False, rng=None):
+    """Full (teacher-forced) decoder forward. Returns [B, T, D] fp32."""
+    dtype = jnp.dtype(cfg.dtype)
+    act = ACTIVATIONS[cfg.activation_function]
+    B, T = decoder_input_ids.shape
+
+    x, rng = _decoder_embed(params, cfg, decoder_input_ids, 0, train, rng)
+
+    self_bias = causal_bias(T, T)
+    if decoder_attention_mask is not None:
+        self_bias = self_bias + padding_bias(decoder_attention_mask)
+    cross_bias = None if enc_attention_mask is None else padding_bias(enc_attention_mask)
+
+    def body(carry, scanned):
+        x, rng = carry
+        lp, i = scanned
+        if rng is not None:
+            lrng = jax.random.fold_in(rng, i)
+            lrng, drop_rng = jax.random.split(lrng)
+        else:
+            lrng = drop_rng = None
+        y, _ = _decoder_layer(x, lp, self_bias, cross_bias, enc_hidden, cfg,
+                              lrng, train, dtype, act)
+        y = _maybe_layerdrop(y, x, cfg.decoder_layerdrop, drop_rng, train)
+        return (y, rng), None
+
+    if cfg.remat:
+        body = jax.checkpoint(body)
+    (x, _), _ = jax.lax.scan(
+        body, (x, rng), (params["decoder"]["layers"], jnp.arange(cfg.decoder_layers)))
+
+    if cfg.add_final_layer_norm:
+        ln = params["decoder"]["layer_norm"]
+        x = layer_norm(x, ln["scale"], ln["bias"])
+    return x
+
+
+# --------------------------------------------------------------------------
+# Incremental decode with preallocated KV cache
+# --------------------------------------------------------------------------
+
+def init_decode_cache(params, cfg: MultiModalBartConfig, enc_hidden, max_len,
+                      cache_dtype=None):
+    """Preallocate the static decode cache.
+
+    self K/V: [L, B, max_len, H, hd] zero-filled; cross K/V projected once
+    from the encoder output: [L, B, Tenc, H, hd]. This replaces the
+    reference's per-layer dict cache (HF 3.0.2 ``decoder_cached_states``)
+    with a single fixed-shape pytree an XLA while-loop can carry.
+    """
+    dtype = cache_dtype or jnp.dtype(cfg.dtype)
+    L = cfg.decoder_layers
+    B, Tenc, D = enc_hidden.shape
+    H = cfg.decoder_attention_heads
+    hd = D // H
+
+    def project(lp):
+        k = split_heads(dense(enc_hidden, lp["encoder_attn"]["k_kernel"],
+                              lp["encoder_attn"]["k_bias"], dtype), H)
+        v = split_heads(dense(enc_hidden, lp["encoder_attn"]["v_kernel"],
+                              lp["encoder_attn"]["v_bias"], dtype), H)
+        return k.astype(dtype), v.astype(dtype)
+
+    cross_k, cross_v = jax.vmap(project)(params["decoder"]["layers"])
+    return {
+        "self_k": jnp.zeros((L, B, max_len, H, hd), dtype),
+        "self_v": jnp.zeros((L, B, max_len, H, hd), dtype),
+        "cross_k": cross_k,
+        "cross_v": cross_v,
+    }
+
+
+def decode_step(params, cfg: MultiModalBartConfig, token_ids, cache, cache_index,
+                enc_attention_mask=None):
+    """One incremental decoder step.
+
+    token_ids: [B, 1] the newest tokens; cache_index: scalar int32 position
+    to write (0-based). Returns (hidden [B, 1, D] fp32, updated cache).
+    """
+    dtype = jnp.dtype(cfg.dtype)
+    act = ACTIVATIONS[cfg.activation_function]
+    max_len = cache["self_k"].shape[2]
+
+    x, _ = _decoder_embed(params, cfg, token_ids, cache_index, False, None)
+
+    # mask future (unwritten) cache slots
+    key_pos = jnp.arange(max_len)[None, None, None, :]
+    self_bias = jnp.where(key_pos <= cache_index, 0.0, NEG_INF).astype(jnp.float32)
+    cross_bias = None if enc_attention_mask is None else padding_bias(enc_attention_mask)
+
+    def body(x, scanned):
+        lp, sk, sv, ck, cv = scanned
+        layer_cache = {"self": {"k": sk, "v": sv}, "cross": {"k": ck, "v": cv}}
+        y, new_cache = _decoder_layer(
+            x, lp, self_bias, cross_bias, None, cfg, None, False, dtype, act,
+            cache=layer_cache, cache_index=cache_index)
+        return y, (new_cache["self"]["k"], new_cache["self"]["v"])
+
+    x, (new_sk, new_sv) = jax.lax.scan(
+        body, x,
+        (params["decoder"]["layers"], cache["self_k"], cache["self_v"],
+         cache["cross_k"], cache["cross_v"]))
+
+    if cfg.add_final_layer_norm:
+        ln = params["decoder"]["layer_norm"]
+        x = layer_norm(x, ln["scale"], ln["bias"])
+
+    new_cache = dict(cache, self_k=new_sk, self_v=new_sv)
+    return x, new_cache
+
+
+def lm_logits(params, cfg: MultiModalBartConfig, hidden, final_logits_bias=None):
+    """Tied LM head: hidden @ shared.T + final_logits_bias
+    (reference: src/model/model.py:291,397)."""
+    dtype = jnp.dtype(cfg.dtype)
+    logits = jnp.dot(hidden.astype(dtype), params["shared"].T.astype(dtype),
+                     preferred_element_type=jnp.float32)
+    if final_logits_bias is not None:
+        logits = logits + final_logits_bias.astype(jnp.float32)
+    return logits
+
+
+def forward(params, cfg: MultiModalBartConfig, input_ids, image_features=None,
+            attention_mask=None, decoder_input_ids=None,
+            decoder_attention_mask=None, *, train=False, rng=None,
+            encoder_outputs=None):
+    """Trunk forward (reference: MultiModalBartModel.forward,
+    src/model/model.py:39-103). Returns (decoder_hidden, encoder_hidden)."""
+    if rng is not None:
+        rng_enc, rng_dec = jax.random.split(rng)
+    else:
+        rng_enc = rng_dec = None
+    enc = encoder_outputs
+    if enc is None:
+        enc = encode(params, cfg, input_ids, image_features, attention_mask,
+                     train=train, rng=rng_enc)
+    dec = decode(params, cfg, decoder_input_ids, enc,
+                 enc_attention_mask=attention_mask,
+                 decoder_attention_mask=decoder_attention_mask,
+                 train=train, rng=rng_dec)
+    return dec, enc
+
+
+def shift_tokens_right(input_ids, pad_token_id):
+    """HF 3.0.2 BART shift: wrap the last non-pad token to position 0."""
+    idx = (jnp.argmax((input_ids != pad_token_id)[:, ::-1], axis=1))
+    last = input_ids.shape[1] - 1 - idx
+    prev = jnp.roll(input_ids, 1, axis=1)
+    first = jnp.take_along_axis(input_ids, last[:, None], axis=1)[:, 0]
+    return prev.at[:, 0].set(first)

@@ -1,0 +1,80 @@
+"""Classification heads and loss functions for pretraining.
+
+Parity targets:
+  - ``BartClassificationHead`` (HF 3.0.2, used at src/model/model.py:133-158):
+    dropout -> dense -> tanh -> dropout -> out_proj.
+  - The loss semantics of ``MultiModalBartForPreTraining.forward``
+    (src/model/model.py:244-306): KL "batchmean" over present masked regions,
+    CE means over present attribute/relation labels, CE ignoring -100 for LM.
+
+TPU-first: the reference gathers ragged masked rows (``outputs[0][mask]``);
+here every head runs on fixed-shape tensors and the losses are masked means,
+which is exactly what XLA needs (no dynamic shapes) and matches the
+reference's "mean over rows that are present" numerics.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from kmbart_tpu.ops.layers import dense, dropout
+
+
+def init_classification_head(rng, input_dim, inner_dim, num_classes, std):
+    k1, k2 = jax.random.split(rng)
+    return {
+        "dense_kernel": jax.random.normal(k1, (input_dim, inner_dim), jnp.float32) * std,
+        "dense_bias": jnp.zeros((inner_dim,), jnp.float32),
+        "out_kernel": jax.random.normal(k2, (inner_dim, num_classes), jnp.float32) * std,
+        "out_bias": jnp.zeros((num_classes,), jnp.float32),
+    }
+
+
+def classification_head(params, x, *, dropout_rate=0.0, rng=None, train=False,
+                        dtype=jnp.bfloat16):
+    """dropout -> dense -> tanh -> dropout -> out_proj (fp32 out)."""
+    if rng is not None:
+        r1, r2 = jax.random.split(rng)
+    else:
+        r1 = r2 = None
+    x = dropout(x, dropout_rate, r1, train)
+    x = jnp.tanh(dense(x, params["dense_kernel"], params["dense_bias"], dtype))
+    x = dropout(x, dropout_rate, r2, train)
+    return dense(x, params["out_kernel"], params["out_bias"], dtype)
+
+
+# --------------------------------------------------------------------------
+# Losses (masked-mean semantics matching the reference)
+# --------------------------------------------------------------------------
+
+def cross_entropy_ignore_index(logits, labels, ignore_index=-100):
+    """Mean CE over positions where labels != ignore_index
+    (torch.nn.CrossEntropyLoss default reduction)."""
+    valid = labels != ignore_index
+    safe = jnp.where(valid, labels, 0)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    n = jnp.sum(valid)
+    return jnp.sum(jnp.where(valid, nll, 0.0)) / jnp.maximum(n, 1), n
+
+
+def masked_kl_div_batchmean(log_probs, soft_labels, mask):
+    """F.kl_div(log_probs, targets, reduction='batchmean') over masked rows.
+
+    Pointwise term t * (log t - log p) with 0*log(0) := 0; 'batchmean'
+    divides by the number of masked rows (the reference gathers masked rows
+    first, so its batch dim is the masked-row count: src/model/model.py:248-257).
+    """
+    t = soft_labels.astype(jnp.float32)
+    log_t = jnp.log(jnp.where(t > 0, t, 1.0))
+    pointwise = jnp.where(t > 0, t * (log_t - log_probs), 0.0)
+    per_row = jnp.sum(pointwise, axis=-1)
+    n = jnp.sum(mask)
+    return jnp.sum(jnp.where(mask, per_row, 0.0)) / jnp.maximum(n, 1), n
+
+
+def masked_cross_entropy(logits, labels, mask):
+    """Mean CE over rows where mask is True (reference attribute/relation CE)."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    n = jnp.sum(mask)
+    return jnp.sum(jnp.where(mask, nll, 0.0)) / jnp.maximum(n, 1), n

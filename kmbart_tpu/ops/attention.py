@@ -1,0 +1,123 @@
+"""Multi-head attention for the BART encoder/decoder.
+
+Parity target: HF 3.0.2 ``SelfAttention`` (imported by the reference at
+src/model/modules.py:8-14 / src/model/model.py:8-15): queries scaled by
+1/sqrt(head_dim) before the QK product, additive -inf masking, softmax in
+fp32, attention-prob dropout, then the output projection.
+
+TPU design: projections and the QK/PV matmuls run in bf16 with fp32
+accumulation so they tile onto the MXU; the softmax stays fp32. For the
+short sequences of this model family (<=128 enc, <=48 dec) a single fused
+XLA attention is already HBM-friendly; a Pallas flash-attention kernel for
+long-sequence configs lives in ops/pallas_attention.py and is selected by
+``kmbart_tpu.ops.flash`` when shapes warrant it.
+"""
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from kmbart_tpu.ops.layers import dense, dropout
+
+NEG_INF = -1e9
+
+
+def split_heads(x, num_heads):
+    b, t, d = x.shape
+    return x.reshape(b, t, num_heads, d // num_heads)
+
+
+def merge_heads(x):
+    b, t, h, hd = x.shape
+    return x.reshape(b, t, h * hd)
+
+
+def attention_core(q, k, v, bias=None, *, dropout_rate=0.0, rng=None,
+                   train=False, dtype=jnp.bfloat16):
+    """Scaled dot-product attention.
+
+    q: [B, Tq, H, hd]; k, v: [B, Tk, H, hd]; bias: additive fp32
+    broadcastable to [B, H, Tq, Tk] (0 for attend, NEG_INF for mask).
+    Returns [B, Tq, H, hd] in fp32.
+    """
+    head_dim = q.shape[-1]
+    scale = head_dim ** -0.5
+    q = (q * scale).astype(dtype)
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k.astype(dtype),
+                        preferred_element_type=jnp.float32)
+    if bias is not None:
+        scores = scores + bias
+    probs = jax.nn.softmax(scores, axis=-1)
+    probs = dropout(probs, dropout_rate, rng, train)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(dtype), v.astype(dtype),
+                     preferred_element_type=jnp.float32)
+    return out
+
+
+def multi_head_attention(
+    params: dict,
+    hidden: jnp.ndarray,
+    kv_hidden: Optional[jnp.ndarray] = None,
+    bias: Optional[jnp.ndarray] = None,
+    *,
+    num_heads: int,
+    dropout_rate: float = 0.0,
+    rng=None,
+    train: bool = False,
+    dtype=jnp.bfloat16,
+    cache: Optional[dict] = None,
+    cache_index=None,
+):
+    """Full attention block: QKV projections, core, output projection.
+
+    params: {"q_kernel","q_bias","k_kernel","k_bias","v_kernel","v_bias",
+             "o_kernel","o_bias"} with kernels [D, D].
+    kv_hidden: source of K/V (encoder states for cross-attention); defaults
+               to ``hidden`` (self-attention).
+    cache: decode-time KV cache dict {"k": [B, Tmax, H, hd], "v": ...};
+           when given with ``cache_index`` the new K/V rows are written at
+           that position and attention runs over the whole static buffer
+           (the caller's bias must mask positions > cache_index).
+           For cross-attention pass a cache with precomputed k/v and
+           ``cache_index=None`` to reuse them without projection.
+    Returns (output [B, Tq, D] fp32, updated cache or None).
+    """
+    src = hidden if kv_hidden is None else kv_hidden
+
+    q = split_heads(dense(hidden, params["q_kernel"], params["q_bias"], dtype), num_heads)
+
+    if cache is not None and cache_index is None:
+        # cross-attention decode path: K/V precomputed once from encoder output
+        k, v = cache["k"], cache["v"]
+        new_cache = cache
+    else:
+        k = split_heads(dense(src, params["k_kernel"], params["k_bias"], dtype), num_heads)
+        v = split_heads(dense(src, params["v_kernel"], params["v_bias"], dtype), num_heads)
+        if cache is not None:
+            # incremental self-attention: write the new rows at cache_index
+            k = jax.lax.dynamic_update_slice(
+                cache["k"], k.astype(cache["k"].dtype), (0, cache_index, 0, 0))
+            v = jax.lax.dynamic_update_slice(
+                cache["v"], v.astype(cache["v"].dtype), (0, cache_index, 0, 0))
+            new_cache = {"k": k, "v": v}
+        else:
+            new_cache = None
+
+    out = attention_core(q, k, v, bias, dropout_rate=dropout_rate, rng=rng,
+                         train=train, dtype=dtype)
+    out = dense(merge_heads(out), params["o_kernel"], params["o_bias"], dtype)
+    return out, new_cache
+
+
+def padding_bias(attention_mask, dtype=jnp.float32):
+    """[B, Tk] 1/0 mask -> additive [B, 1, 1, Tk] bias."""
+    return jnp.where(attention_mask[:, None, None, :].astype(bool), 0.0, NEG_INF).astype(dtype)
+
+
+def causal_bias(q_len, k_len, offset=0, dtype=jnp.float32):
+    """Additive [1, 1, Tq, Tk] causal bias; query i attends keys <= i+offset."""
+    q_pos = jnp.arange(q_len)[:, None] + offset
+    k_pos = jnp.arange(k_len)[None, :]
+    allowed = k_pos <= q_pos
+    return jnp.where(allowed, 0.0, NEG_INF).astype(dtype)[None, None]
