@@ -1,0 +1,121 @@
+"""Host-side data loading: sharding sampler + threaded prefetching loader.
+
+Parity targets:
+  - ``DistributedSampler`` (pretrain.py:250-254): pad-to-even, rank-strided
+    sharding with per-epoch shuffling;
+  - ``DataLoader`` batching + collate_fn + worker prefetch
+    (pretrain.py:256-264).
+
+TPU-first: the loader overlaps host-side collation with device compute via a
+background thread pool and a bounded prefetch queue; batches are fixed-shape
+numpy arrays ready for ``jax.device_put``. Per-host sharding composes with
+the data-parallel mesh (parallel/mesh.py): each process loads only its slice
+of the global batch.
+"""
+
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+
+class ShardedSampler:
+    """Rank-strided sampler with epoch-seeded shuffling (DistributedSampler
+    semantics: pad the index list so every rank gets the same count)."""
+
+    def __init__(self, dataset_len, num_replicas=1, rank=0, shuffle=True,
+                 seed=0):
+        self.dataset_len = dataset_len
+        self.num_replicas = num_replicas
+        self.rank = rank
+        self.shuffle = shuffle
+        self.seed = seed
+        self.epoch = 0
+        self.num_samples = -(-dataset_len // num_replicas)
+        self.total_size = self.num_samples * num_replicas
+
+    def set_epoch(self, epoch):
+        self.epoch = epoch
+
+    def __iter__(self):
+        if self.shuffle:
+            g = np.random.default_rng(self.seed + self.epoch)
+            indices = g.permutation(self.dataset_len).tolist()
+        else:
+            indices = list(range(self.dataset_len))
+        # pad to make evenly divisible
+        indices += indices[: self.total_size - len(indices)]
+        return iter(indices[self.rank:self.total_size:self.num_replicas])
+
+    def __len__(self):
+        return self.num_samples
+
+
+class DataLoader:
+    """Minimal DataLoader: batches indices, collates with ``collate_fn``,
+    prefetches ``prefetch`` batches with ``num_workers`` threads."""
+
+    def __init__(self, dataset, batch_size, collate_fn, sampler=None,
+                 shuffle=False, num_workers=0, drop_last=False, prefetch=2,
+                 seed=0):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.collate_fn = collate_fn
+        self.sampler = sampler
+        self.shuffle = shuffle
+        self.num_workers = num_workers
+        self.drop_last = drop_last
+        self.prefetch = max(prefetch, 1)
+        self.seed = seed
+        self._epoch = 0
+
+    def set_epoch(self, epoch):
+        self._epoch = epoch
+        if self.sampler is not None:
+            self.sampler.set_epoch(epoch)
+
+    def _index_batches(self):
+        if self.sampler is not None:
+            indices = list(self.sampler)
+        elif self.shuffle:
+            g = np.random.default_rng(self.seed + self._epoch)
+            indices = g.permutation(len(self.dataset)).tolist()
+        else:
+            indices = list(range(len(self.dataset)))
+        for i in range(0, len(indices), self.batch_size):
+            chunk = indices[i:i + self.batch_size]
+            if self.drop_last and len(chunk) < self.batch_size:
+                return
+            yield chunk
+
+    def _load(self, idx_batch):
+        return self.collate_fn([self.dataset[i] for i in idx_batch])
+
+    def __len__(self):
+        if self.sampler is not None:
+            n = len(self.sampler)
+        else:
+            n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def __iter__(self):
+        if self.num_workers <= 0:
+            for idx_batch in self._index_batches():
+                yield self._load(idx_batch)
+            return
+
+        # bounded look-ahead: at most num_workers + prefetch batches in flight
+        pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        pending = deque()
+        cap = self.num_workers + self.prefetch
+        try:
+            for b in self._index_batches():
+                pending.append(pool.submit(self._load, b))
+                if len(pending) >= cap:
+                    yield pending.popleft().result()
+            while pending:
+                yield pending.popleft().result()
+        finally:
+            pool.shutdown(wait=False, cancel_futures=True)

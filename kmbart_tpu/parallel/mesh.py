@@ -1,0 +1,56 @@
+"""Device mesh and sharding helpers.
+
+Parity target: the reference's distributed runtime is single-host NCCL DDP
+(src/utils.py:9-17, pretrain.py:96-98, DistributedSampler pretrain.py:250-254).
+TPU-native replacement: a ``jax.sharding.Mesh`` over ICI with a ``data`` axis
+(and an optional ``model`` axis for tensor parallelism); gradient reduction
+is the psum XLA inserts for sharded-batch/replicated-param jit — no
+process-group rendezvous, no DDP wrapper, and no
+``find_unused_parameters`` problem because every head always runs
+(models/pretraining.py fixed-shape heads).
+"""
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices=None, model_parallel=1, axis_names=("data", "model")):
+    """1-D data mesh by default; pass model_parallel>1 for a 2-D data x model
+    mesh (model axis innermost so TP collectives ride the fastest ICI links)."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if n % model_parallel != 0:
+        raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
+    grid = np.asarray(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(grid, axis_names)
+
+
+def replicated(mesh):
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh):
+    """Shard the leading (batch) axis over 'data'."""
+    return NamedSharding(mesh, P("data"))
+
+
+def shard_batch(mesh, batch):
+    """Place array entries of a collated batch with batch-axis sharding;
+    non-array metadata (task_type, index, raw text) stays on host."""
+    sh = batch_sharding(mesh)
+    out = {}
+    for k, v in batch.items():
+        if hasattr(v, "shape") and getattr(v, "ndim", 0) >= 1:
+            out[k] = jax.device_put(np.asarray(v), sh)
+        else:
+            out[k] = v
+    return out
+
+
+def device_arrays(batch):
+    """Drop non-array metadata so the batch is a clean jit input pytree."""
+    return {k: v for k, v in batch.items()
+            if hasattr(v, "shape") and getattr(v, "ndim", 0) >= 1}

@@ -1,0 +1,74 @@
+"""Jit/pjit train- and eval-step builders.
+
+Parity target: the per-step fwd/bwd/opt of ``pretrain()`` / ``fine_tune()``
+(src/training.py:29-60, 116-143). The reference's AMP GradScaler
+(src/training.py:31,55-57) is unnecessary on TPU: bf16 has fp32-range
+exponents, so the loss is computed in bf16/fp32 mixed precision with fp32
+master params and no loss scaling.
+
+Layout: params/optimizer replicated (or TP-sharded via ``param_specs``),
+batch sharded on the ``data`` mesh axis. XLA inserts the gradient
+all-reduce over ICI automatically — the DDP allreduce hook
+(pretrain.py:98) becomes a compiler decision.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from kmbart_tpu.training.state import TrainState
+
+
+def build_train_step(loss_fn, optimizer, mesh=None, param_specs=None,
+                     donate=True):
+    """loss_fn(params, batch, rng) -> (loss, metrics_dict_of_scalars).
+
+    Returns jitted step(state, batch, rng) -> (state, metrics).
+    """
+
+    def step(state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+
+        def lf(params):
+            return loss_fn(params, batch, rng)
+
+        (loss, metrics), grads = jax.value_and_grad(lf, has_aux=True)(state.params)
+        new_params, new_opt = optimizer.update(grads, state.opt_state,
+                                               state.params)
+        new_state = TrainState(params=new_params, opt_state=new_opt,
+                               step=state.step + 1)
+        metrics = dict(metrics)
+        metrics["loss"] = loss
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    if param_specs is None:
+        state_sh = repl
+    else:
+        state_sh = param_specs  # full TrainState sharding pytree
+    return jax.jit(
+        step,
+        in_shardings=(state_sh, data, repl),
+        out_shardings=(state_sh, repl),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def build_eval_step(loss_fn, mesh=None):
+    def step(params, batch):
+        loss, metrics = loss_fn(params, batch, None)
+        metrics = dict(metrics)
+        metrics["loss"] = loss
+        return metrics
+
+    if mesh is None:
+        return jax.jit(step)
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(step, in_shardings=(repl, data), out_shardings=repl)

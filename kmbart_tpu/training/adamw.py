@@ -1,0 +1,82 @@
+"""AdamW optimizer, owned in-repo (no optax dependency on the train path).
+
+Parity target: the ``transformers.AdamW`` the reference trains with
+(pretrain.py:13,100; vcg_train.py:13,100): betas (0.9, 0.999), eps 1e-6
+(HF's default, unlike torch's 1e-8), decoupled weight decay applied with the
+*uncorrected* lr, bias correction on the adaptive step.
+
+TPU-first: a pure pytree transform — fp32 moments, works under jit/pjit,
+and moment pytrees inherit the parameters' sharding (ZeRO-style optimizer
+sharding is then just a sharding-rule change in parallel/train_step.py).
+"""
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class AdamWState(NamedTuple):
+    step: jnp.ndarray  # int32 scalar
+    mu: dict           # first moment pytree
+    nu: dict           # second moment pytree
+
+
+def adamw_init(params) -> AdamWState:
+    zeros = lambda p: jnp.zeros_like(p, dtype=jnp.float32)
+    return AdamWState(
+        step=jnp.zeros((), jnp.int32),
+        mu=jax.tree.map(zeros, params),
+        nu=jax.tree.map(zeros, params),
+    )
+
+
+def adamw_update(grads, state: AdamWState, params, *, lr, b1=0.9, b2=0.999,
+                 eps=1e-6, weight_decay=0.0, correct_bias=True):
+    """Returns (new_params, new_state). ``lr`` may be a traced scalar
+    (schedules) or a python float."""
+    step = state.step + 1
+    t = step.astype(jnp.float32)
+
+    def upd(p, g, m, v):
+        g = g.astype(jnp.float32)
+        m = b1 * m + (1.0 - b1) * g
+        v = b2 * v + (1.0 - b2) * jnp.square(g)
+        if correct_bias:
+            step_size = lr * jnp.sqrt(1.0 - b2 ** t) / (1.0 - b1 ** t)
+        else:
+            step_size = lr
+        new_p = p - step_size * m / (jnp.sqrt(v) + eps)
+        if weight_decay > 0.0:
+            new_p = new_p - lr * weight_decay * p
+        return new_p, m, v
+
+    flat_p, treedef = jax.tree.flatten(params)
+    flat_g = treedef.flatten_up_to(grads)
+    flat_m = treedef.flatten_up_to(state.mu)
+    flat_v = treedef.flatten_up_to(state.nu)
+    out = [upd(p, g, m, v) for p, g, m, v in zip(flat_p, flat_g, flat_m, flat_v)]
+    new_params = treedef.unflatten([o[0] for o in out])
+    new_mu = treedef.unflatten([o[1] for o in out])
+    new_nu = treedef.unflatten([o[2] for o in out])
+    return new_params, AdamWState(step=step, mu=new_mu, nu=new_nu)
+
+
+class adamw:
+    """Optax-style wrapper: ``opt = adamw(lr); state = opt.init(params);
+    params, state = opt.update(grads, state, params)``."""
+
+    def __init__(self, lr, b1=0.9, b2=0.999, eps=1e-6, weight_decay=0.0,
+                 correct_bias=True):
+        self.lr, self.b1, self.b2 = lr, b1, b2
+        self.eps, self.weight_decay = eps, weight_decay
+        self.correct_bias = correct_bias
+
+    def init(self, params):
+        return adamw_init(params)
+
+    def update(self, grads, state, params, lr=None):
+        return adamw_update(
+            grads, state, params, lr=self.lr if lr is None else lr,
+            b1=self.b1, b2=self.b2, eps=self.eps,
+            weight_decay=self.weight_decay, correct_bias=self.correct_bias)

@@ -1,0 +1,60 @@
+"""Validation drivers.
+
+Parity target: src/validation.py:10-163 — pretraining/fine-tune validation
+loss loops with ETA logging and the generation-score validation that decodes
+the eval split and scores BLEU-2/METEOR/CIDEr against the reference file.
+"""
+
+from datetime import datetime
+
+from kmbart_tpu.parallel.mesh import device_arrays
+
+
+def validate_loss(epoch, params, eval_step, val_loader, *, logger=None,
+                  log_interval=1, tb_writer=None, tag="val"):
+    total_step = len(val_loader)
+    loss = 0.0
+    start_time = datetime.now()
+    for i, batch in enumerate(val_loader):
+        metrics = eval_step(params, device_arrays(batch))
+        loss += float(metrics["loss"])
+        if logger is not None and i % log_interval == 0:
+            eta = (total_step - (i + 1)) / (i + 1) * (datetime.now() - start_time)
+            logger.info("Computing validation loss, Step [{}/{}], Loss: {:.4f}, ETA: {}".format(
+                i + 1, total_step, loss / (i + 1), str(eta)))
+    loss /= max(total_step, 1)
+    if logger is not None:
+        logger.info("Validation loss", pad=True)
+        logger.info("Epoch: {}, Val loss: {}".format(epoch + 1, loss))
+        logger.line()
+    if tb_writer is not None:
+        tb_writer.add_scalars("loss/epoch", {tag: loss}, epoch + 1)
+    return loss
+
+
+# reference aliases (src/validation.py:10,62)
+validate_pretraining_loss = validate_loss
+validate_fine_tune_loss = validate_loss
+
+
+def validate_generation_score(epoch, params, cfg, gen_loader, reference,
+                              tokenizer, args, *, logger=None, log_interval=1,
+                              tb_writer=None):
+    """Decode the eval split and score it (src/validation.py:124-163)."""
+    from kmbart_tpu.generation.driver import generate_text
+    from kmbart_tpu.eval.metrics import compute_metric_inference
+
+    generated = generate_text(params=params, cfg=cfg, gen_loader=gen_loader,
+                              tokenizer=tokenizer, args=args, logger=logger,
+                              log_interval=log_interval)
+    scores = compute_metric_inference(gens_list=generated, refs_list=reference)
+    if logger is not None:
+        logger.info("Validation scores", pad=True)
+        logger.info("Epoch: {}, BLEU2: {}, METEOR: {}, CIDEr: {}".format(
+            epoch + 1, scores.get("BLEU2"), scores.get("METEOR"),
+            scores.get("CIDEr")))
+        logger.line()
+    if tb_writer is not None:
+        for k, v in scores.items():
+            tb_writer.add_scalar("score/{}".format(k), v, epoch + 1)
+    return scores

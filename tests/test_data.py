@@ -1,0 +1,233 @@
+"""Data-layer tests: BPE, condition packing, collator masking, datasets."""
+
+import numpy as np
+import pytest
+
+from kmbart_tpu.data.collation import Collator
+from kmbart_tpu.data.datasets import (
+    COCODataset, ConcatDataset, ReasonDataset, VCGDataset, VGDataset)
+from kmbart_tpu.data.loader import DataLoader, ShardedSampler
+
+
+def test_bpe_roundtrip(tokenizer):
+    base = tokenizer.get_base_tokenizer()
+    text = "the person eats dinner, quickly!"
+    ids = base.encode(text)
+    assert base.decode(ids) == text
+    # special tokens survive and are never split
+    ids2 = base.encode("<intent><img_feat></img>")
+    assert ids2 == [tokenizer.intent_id, tokenizer.img_feat_id,
+                    tokenizer.end_img_id]
+
+
+def test_bpe_real_merges(tmp_path):
+    """Exercise the merge loop with a mini merge table."""
+    import json
+    from kmbart_tpu.data.bpe import ByteLevelBPE, bytes_to_unicode
+    b2u = bytes_to_unicode()
+    sp = b2u[ord(" ")]
+    vocab = {"<s>": 0, "<pad>": 1, "</s>": 2, "<unk>": 3}
+    for ch in b2u.values():
+        vocab.setdefault(ch, len(vocab))
+    for tok in ("he", "hel", "hell", "hello", sp + "w", sp + "wo", "rl",
+                "rld", sp + "world", "<mask>"):
+        vocab.setdefault(tok, len(vocab))
+    merges = ["#version: test", "h e", "he l", "hel l", "hell o",
+              f"{sp} w", f"{sp}w o", "r l", "rl d", f"{sp}wo rld"]
+    (tmp_path / "vocab.json").write_text(json.dumps(vocab))
+    (tmp_path / "merges.txt").write_text("\n".join(merges) + "\n")
+    bpe = ByteLevelBPE(str(tmp_path / "vocab.json"), str(tmp_path / "merges.txt"))
+    toks = bpe.tokenize("hello world")
+    assert toks == ["hello", sp + "world"]
+    assert bpe.decode(bpe.encode("hello world")) == "hello world"
+
+
+def test_encode_condition_layout(tokenizer):
+    enc = tokenizer.encode_condition(
+        task_type=["intent", "after"], img_num=[2, 0],
+        event=["1 waits", ""], mlm=["eats food", "runs"])
+    ids = enc["input_ids"]
+    assert ids[0, 0] == tokenizer.intent_id
+    assert ids[1, 0] == tokenizer.after_id
+    assert (ids[0] == tokenizer.img_feat_id).sum() == 2
+    assert (ids[1] == tokenizer.img_feat_id).sum() == 0
+    assert enc["img_mask"].sum() == 2
+    # masks cover the text between the markers, not the markers
+    ev = np.nonzero(enc["event_mask"][0])[0]
+    assert ids[0, ev[0] - 1] == tokenizer.begin_event_id
+    assert ids[0, ev[-1] + 1] == tokenizer.end_event_id
+
+
+def test_encode_label_split(tokenizer):
+    out = tokenizer.encode_label(["eats"], img_num=[2])
+    labels, dec = out["labels"][0], out["decoder_input_ids"][0]
+    assert tokenizer.bos_token_id not in labels.tolist()
+    assert tokenizer.eos_token_id not in dec.tolist()
+    assert labels[0] == tokenizer.begin_img_id
+    assert dec[3] == tokenizer.end_img_id and dec[4] == tokenizer.bos_token_id
+    assert out["label_img_mask"].sum() == 2
+
+
+def _entry(rng, task="intent", nimg=3, feat=20, C=7, idx=0):
+    e = {"task_type": task, "labels": "the person eats dinner",
+         "event": "1 sits at a table", "index": idx}
+    if nimg:
+        e["image_features"] = rng.normal(size=(nimg, feat)).astype(np.float32)
+        e["mrm_labels"] = rng.dirichlet(np.ones(C), nimg).astype(np.float32)
+    return e
+
+
+def test_collator_static_shapes(tokenizer, np_rng):
+    col = Collator(tokenizer, has_label=True, mlm_enabled=True,
+                   mrm_enabled=True, mlm_probability=0.3, mrm_probability=0.3,
+                   max_img_num=4, image_feature_size=20, num_mrm_labels=7,
+                   rng=np.random.default_rng(1))
+    b1 = col([_entry(np_rng, nimg=3), _entry(np_rng, nimg=0)])
+    b2 = col([_entry(np_rng, nimg=4), _entry(np_rng, nimg=1),
+              _entry(np_rng, nimg=2)])
+    for k in ("input_ids", "labels", "decoder_input_ids", "mrm_soft_labels"):
+        assert b1[k].shape[1:] == b2[k].shape[1:], k
+
+
+def test_collator_mrm_semantics(tokenizer, np_rng):
+    col = Collator(tokenizer, has_label=True, mlm_enabled=True,
+                   mrm_enabled=True, mlm_probability=0.0, mrm_probability=1.0,
+                   max_img_num=4, image_feature_size=20, num_mrm_labels=7,
+                   rng=np.random.default_rng(2))
+    entry = _entry(np_rng, nimg=3)
+    orig_feats = entry["image_features"].copy()
+    batch = col([entry])
+    # p=1.0: every image slot masked -> input ids become <cls>
+    img_span = batch["input_ids"] == tokenizer.cls_token_id
+    assert img_span.sum() == 3
+    # features zeroed except the 4 bbox dims
+    np.testing.assert_array_equal(batch["image_features"][0, :3, :-4], 0.0)
+    np.testing.assert_allclose(batch["image_features"][0, :3, -4:],
+                               orig_feats[:, -4:])
+    # decoder-side: labels carry <cls> at the mirrored positions with the
+    # detector soft label attached; lm loss will ignore them via cls->-100
+    assert batch["mrm_mask"].sum() == 3
+    np.testing.assert_allclose(
+        batch["mrm_soft_labels"][batch["mrm_mask"]],
+        np.asarray(entry["mrm_labels"]), rtol=1e-6)
+
+
+def test_collator_label_ignore_index(tokenizer, np_rng):
+    col = Collator(tokenizer, has_label=True, max_img_num=4,
+                   image_feature_size=20)
+    batch = col([_entry(np_rng, nimg=2)])
+    labels = batch["labels"][0]
+    assert (labels != tokenizer.pad_token_id).all()
+    assert (labels[labels >= 0] != tokenizer.begin_img_id).all()
+    assert -100 in labels  # padding masked
+
+
+def test_collator_vcg_event_swap(tokenizer, np_rng):
+    """before/after/intent during MLM pretraining: event text moves to the
+    <mlm> span (src/data/collation.py:86-89)."""
+    col = Collator(tokenizer, has_label=True, mlm_enabled=True,
+                   mlm_probability=0.0, max_img_num=4, image_feature_size=20,
+                   rng=np.random.default_rng(3))
+    batch = col([_entry(np_rng, task="intent", nimg=0)])
+    ids = batch["input_ids"][0]
+    begin_ev = np.nonzero(ids == tokenizer.begin_event_id)[0]
+    end_ev = np.nonzero(ids == tokenizer.end_event_id)[0]
+    assert end_ev[0] == begin_ev[0] + 1  # event emptied
+    assert (ids == tokenizer.begin_mlm_id).sum() == 1
+
+
+def test_collator_mlm_masks_only_mlm_span(tokenizer, np_rng):
+    col = Collator(tokenizer, has_label=True, mlm_enabled=True,
+                   mlm_probability=1.0, max_img_num=4, image_feature_size=20,
+                   rng=np.random.default_rng(4))
+    batch = col([_entry(np_rng, task="caption", nimg=0)])
+    ids = batch["input_ids"][0]
+    begin = np.nonzero(ids == tokenizer.begin_mlm_id)[0][0]
+    end = np.nonzero(ids == tokenizer.end_mlm_id)[0][0]
+    outside = np.concatenate([ids[:begin + 1], ids[end:]])
+    assert tokenizer.mask_token_id not in outside.tolist()
+
+
+def test_collator_drops_none_entries(tokenizer, np_rng):
+    col = Collator(tokenizer, has_label=True, max_img_num=4,
+                   image_feature_size=20)
+    batch = col([_entry(np_rng), None, _entry(np_rng, idx=1)])
+    assert batch["input_ids"].shape[0] == 2
+
+
+def test_collator_invariant_checks(tokenizer):
+    with pytest.raises(ValueError):
+        Collator(tokenizer, has_label=False, mlm_enabled=True)
+    with pytest.raises(ValueError):
+        Collator(tokenizer, has_label=True, ap_enabled=True, mrm_enabled=False)
+
+
+def test_datasets_and_vg(fixture_dataset, np_rng):
+    import os
+    vcg = VCGDataset(os.path.join(fixture_dataset, "vcg"), split="train")
+    item = vcg[0]
+    assert item["image_features"].shape[1] == 20
+    assert item["task_type"] in ("intent", "before", "after")
+
+    vcg_pre = VCGDataset(os.path.join(fixture_dataset, "vcg"), split="train",
+                         pretrain=True)
+    assert vcg_pre[0]["task_type"] == "caption" and "event" not in vcg_pre[0]
+
+    vg = VGDataset(os.path.join(fixture_dataset, "vg"), split="train")
+    it = vg[0]
+    # whole image + objects + region
+    assert it["image_features"].shape[0] == len(it["object_ids"]) + 2
+    assert it["mrm_labels"].shape == (it["image_features"].shape[0], 7)
+
+    reason = ReasonDataset(os.path.join(fixture_dataset, "reason"), split="train")
+    items = [reason[i] for i in range(len(reason))]
+    assert any(x is None for x in items)  # missing pickle path
+    assert any(x is not None for x in items)
+
+    concat = ConcatDataset([vcg, vg])
+    assert len(concat) == len(vcg) + len(vg)
+    assert concat[len(vcg)]["task_type"] == "region_caption"
+
+
+def test_vg_through_collator(fixture_dataset, tokenizer):
+    import os
+    vg = VGDataset(os.path.join(fixture_dataset, "vg"), split="train")
+    col = Collator(tokenizer, has_label=True, mlm_enabled=True,
+                   mrm_enabled=True, ap_enabled=True, rp_enabled=True,
+                   mlm_probability=0.3, mrm_probability=0.3, max_img_num=4,
+                   image_feature_size=20, num_mrm_labels=7,
+                   rng=np.random.default_rng(5))
+    batch = col([vg[0], vg[2]])
+    assert batch["relation_pairs"].shape[2] == 2
+    assert batch["attribute_mask"].shape == batch["labels"].shape
+    # relation indices must point inside the decoder sequence
+    assert (batch["relation_pairs"] < batch["labels"].shape[1]).all()
+    if batch["relation_mask"].any():
+        pairs = batch["relation_pairs"][batch["relation_mask"]]
+        assert (pairs > 0).all()
+
+
+def test_sharded_sampler():
+    s0 = ShardedSampler(10, num_replicas=4, rank=0, shuffle=False)
+    s3 = ShardedSampler(10, num_replicas=4, rank=3, shuffle=False)
+    i0, i3 = list(s0), list(s3)
+    assert len(i0) == len(i3) == 3
+    assert set(i0).isdisjoint(set(i3) - {0, 1, 2})  # disjoint modulo padding
+    sh = ShardedSampler(10, num_replicas=2, rank=0, shuffle=True, seed=1)
+    sh.set_epoch(0)
+    a = list(sh)
+    sh.set_epoch(1)
+    b = list(sh)
+    assert a != b
+
+
+def test_loader_prefetch(fixture_dataset, tokenizer):
+    import os
+    ds = VCGDataset(os.path.join(fixture_dataset, "vcg"), split="train")
+    col = Collator(tokenizer, has_label=True, max_img_num=4,
+                   image_feature_size=20)
+    loader = DataLoader(ds, batch_size=4, collate_fn=col, num_workers=2,
+                        shuffle=True)
+    batches = list(loader)
+    assert sum(b["input_ids"].shape[0] for b in batches) == len(ds)
+    assert len(batches) == len(loader)

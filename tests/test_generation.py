@@ -1,0 +1,178 @@
+"""Decode-loop tests: 3.0.2 semantics invariants + greedy parity vs HF."""
+
+import jax
+import numpy as np
+import pytest
+
+from kmbart_tpu.models import bart
+from kmbart_tpu.models.conditional import init_conditional_params
+from kmbart_tpu.generation.api import generate
+from kmbart_tpu.generation import logits as lp
+
+
+@pytest.fixture(scope="module")
+def setup(tiny_cfg):
+    cfg = tiny_cfg.replace(dtype="float32")
+    params = init_conditional_params(jax.random.PRNGKey(5), cfg)
+    rng = np.random.default_rng(3)
+    B, S = 3, 11
+    ids = rng.integers(4, 80, (B, S)).astype(np.int32)
+    batch = {"input_ids": ids,
+             "attention_mask": np.ones((B, S), np.int32)}
+    return cfg, params, batch
+
+
+def _seq_logprob(params, cfg, batch, out, length_penalty=1.0):
+    """Teacher-forced cumulative log-prob of generated rows (for ranking
+    invariants). Skips the forced-BOS step contribution the way 3.0.2 does
+    (forced steps contribute exactly 0)."""
+    enc = bart.encode(params["model"], cfg,
+                      batch["input_ids"], None, batch["attention_mask"])
+    n_rep = out.shape[0] // enc.shape[0]
+    enc = np.repeat(np.asarray(enc), n_rep, axis=0)
+    am = np.repeat(batch["attention_mask"], n_rep, axis=0)
+    hid = bart.decode(params["model"], cfg, out[:, :-1],
+                      enc, enc_attention_mask=am)
+    logp = jax.nn.log_softmax(
+        bart.lm_logits(params["model"], cfg, hid,
+                       params["final_logits_bias"]), axis=-1)
+    logp = np.asarray(logp)
+    scores = []
+    for i in range(out.shape[0]):
+        total, n = 0.0, 0
+        for t in range(1, out.shape[1]):
+            tok = out[i, t]
+            if t == 1:  # forced BOS contributes 0 in 3.0.2
+                n += 1
+                continue
+            if tok == cfg.pad_token_id and out[i, t - 1] in (cfg.eos_token_id,
+                                                             cfg.pad_token_id):
+                break
+            total += logp[i, t - 1, tok]
+            n += 1
+            if tok == cfg.eos_token_id:
+                break
+        scores.append(total / (n ** length_penalty))
+    return np.asarray(scores)
+
+
+def test_beam_output_structure(setup):
+    cfg, params, batch = setup
+    out = generate(params, cfg, batch, max_length=10, num_beams=3,
+                   early_stopping=True)
+    assert out.shape == (3, 10)
+    assert (out[:, 0] == cfg.decoder_start_token_id).all()
+    assert (out[:, 1] == cfg.bos_token_id).all()          # forced BOS
+    for row in out:
+        eos_pos = np.nonzero(row == cfg.eos_token_id)[0]
+        assert len(eos_pos) >= 1                          # forced EOS
+        after = row[eos_pos[0] + 1:]
+        assert (after == cfg.pad_token_id).all()          # pad after EOS
+
+
+def test_beam_return_sequences_sorted(setup):
+    cfg, params, batch = setup
+    out = generate(params, cfg, batch, max_length=9, num_beams=4,
+                   num_return_sequences=3, early_stopping=True)
+    assert out.shape == (9, 9)
+    scores = _seq_logprob(params, cfg, batch, out)
+    for b in range(3):
+        s = scores[b * 3:(b + 1) * 3]
+        assert s[0] >= s[1] - 1e-4 and s[1] >= s[2] - 1e-4, s
+
+
+def test_beam_beats_greedy(setup):
+    cfg, params, batch = setup
+    g = generate(params, cfg, batch, max_length=10)
+    b = generate(params, cfg, batch, max_length=10, num_beams=4,
+                 early_stopping=False)
+    # greedy doesn't force BOS/EOS in 3.0.2, so compare plain seq logprob
+    sg = _seq_logprob(params, cfg, batch, g)
+    sb = _seq_logprob(params, cfg, batch, b)
+    assert (sb >= sg - 1e-4).all(), (sb, sg)
+
+
+def test_no_repeat_ngram(setup):
+    cfg, params, batch = setup
+    out = generate(params, cfg, batch, max_length=16, num_beams=2,
+                   no_repeat_ngram_size=2)
+    for row in out:
+        toks = [t for t in row.tolist() if t != cfg.pad_token_id]
+        bigrams = list(zip(toks, toks[1:]))
+        assert len(bigrams) == len(set(bigrams)), row
+
+
+def test_min_length_blocks_eos(setup):
+    cfg, params, batch = setup
+    out = generate(params, cfg, batch, max_length=14, num_beams=2,
+                   min_length=10)
+    for row in out:
+        eos_pos = np.nonzero(row == cfg.eos_token_id)[0]
+        assert eos_pos[0] >= 9, row
+
+
+def test_bad_words_banned(setup):
+    cfg, params, batch = setup
+    free = generate(params, cfg, batch, max_length=10, num_beams=2)
+    # ban the most frequent non-special generated token
+    vals, counts = np.unique(free[free > 3], return_counts=True)
+    banned = int(vals[np.argmax(counts)])
+    out = generate(params, cfg, batch, max_length=10, num_beams=2,
+                   bad_words_ids=[[banned]])
+    assert not (out == banned).any()
+
+
+def test_sampling_respects_top_k():
+    logits = np.log(np.array([[0.4, 0.3, 0.2, 0.05, 0.05]]))
+    filtered = np.asarray(lp.top_k_top_p_filtering(
+        jax.numpy.asarray(logits), top_k=2, top_p=1.0))
+    assert np.isfinite(filtered[0, :2]).all()
+    assert np.isinf(filtered[0, 2:]).all()
+
+
+def test_top_p_keeps_first_above_threshold():
+    logits = np.log(np.array([[0.5, 0.3, 0.15, 0.05]]))
+    filtered = np.asarray(lp.top_k_top_p_filtering(
+        jax.numpy.asarray(logits), top_k=0, top_p=0.6))
+    # cumulative 0.5, 0.8 -> keep first two (shift-right rule)
+    assert np.isfinite(filtered[0, :2]).all()
+    assert np.isinf(filtered[0, 2:]).all()
+
+
+def test_greedy_parity_with_hf(setup):
+    """Greedy continuation matches transformers with forcing disabled
+    (3.0.2's no-beam path applies no forced BOS/EOS)."""
+    torch = pytest.importorskip("torch")
+    import transformers
+    from kmbart_tpu.checkpoint.torch_import import pytree_to_state_dict
+
+    cfg, params, batch = setup
+    sd = pytree_to_state_dict(params, cfg)
+    hf_cfg = transformers.BartConfig(
+        vocab_size=cfg.vocab_size, d_model=cfg.d_model,
+        encoder_layers=cfg.encoder_layers, decoder_layers=cfg.decoder_layers,
+        encoder_attention_heads=cfg.encoder_attention_heads,
+        decoder_attention_heads=cfg.decoder_attention_heads,
+        encoder_ffn_dim=cfg.encoder_ffn_dim, decoder_ffn_dim=cfg.decoder_ffn_dim,
+        max_position_embeddings=cfg.max_position_embeddings,
+        activation_function="gelu", dropout=0.0, attention_dropout=0.0,
+        pad_token_id=cfg.pad_token_id, bos_token_id=cfg.bos_token_id,
+        eos_token_id=cfg.eos_token_id,
+        decoder_start_token_id=cfg.decoder_start_token_id,
+        forced_bos_token_id=None, forced_eos_token_id=None)
+    hf = transformers.BartForConditionalGeneration(hf_cfg).eval()
+    hf_sd = {k: torch.tensor(np.asarray(v, np.float32)) for k, v in sd.items()
+             if "embed_images" not in k}
+    hf_sd["lm_head.weight"] = hf_sd["model.shared.weight"]
+    hf.load_state_dict(hf_sd, strict=True)
+
+    max_length = 12
+    with torch.no_grad():
+        ref = hf.generate(
+            input_ids=torch.tensor(batch["input_ids"].astype(np.int64)),
+            attention_mask=torch.tensor(batch["attention_mask"].astype(np.int64)),
+            max_length=max_length, num_beams=1, do_sample=False,
+            min_length=0).numpy()
+    ours = generate(params, cfg, batch, max_length=max_length)
+    n = min(ref.shape[1], ours.shape[1])
+    np.testing.assert_array_equal(ours[:, :n], ref[:, :n])
