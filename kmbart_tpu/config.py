@@ -166,7 +166,7 @@ def tiny_config(**overrides) -> MultiModalBartConfig:
         decoder_attention_heads=4,
         encoder_ffn_dim=64,
         decoder_ffn_dim=64,
-        max_position_embeddings=64,
+        max_position_embeddings=128,
         img_feat_id=90,
         cls_token_id=93,
         image_feature_size=20,

@@ -57,7 +57,7 @@ class DataLoader:
 
     def __init__(self, dataset, batch_size, collate_fn, sampler=None,
                  shuffle=False, num_workers=0, drop_last=False, prefetch=2,
-                 seed=0):
+                 seed=0, batch_divisor=1):
         self.dataset = dataset
         self.batch_size = batch_size
         self.collate_fn = collate_fn
@@ -67,6 +67,7 @@ class DataLoader:
         self.drop_last = drop_last
         self.prefetch = max(prefetch, 1)
         self.seed = seed
+        self.batch_divisor = max(1, batch_divisor)
         self._epoch = 0
 
     def set_epoch(self, epoch):
@@ -89,7 +90,28 @@ class DataLoader:
             yield chunk
 
     def _load(self, idx_batch):
-        return self.collate_fn([self.dataset[i] for i in idx_batch])
+        batch = self.collate_fn([self.dataset[i] for i in idx_batch])
+        return self._trim_to_divisor(batch)
+
+    def _trim_to_divisor(self, batch):
+        """Keep the leading (batch) dim a multiple of ``batch_divisor`` —
+        collators may drop None entries (ReasonDataset missing pickles), and
+        a sharded pjit step needs divisibility by the data-mesh size.
+        Returns None when fewer than one multiple remains (batch skipped)."""
+        if self.batch_divisor == 1 or not isinstance(batch, dict):
+            return batch
+        sizes = [len(v) for v in batch.values()
+                 if hasattr(v, "__len__") and not isinstance(v, str)]
+        if not sizes:
+            return batch
+        n = min(sizes)
+        m = (n // self.batch_divisor) * self.batch_divisor
+        if m == 0:
+            return None
+        if m == n:
+            return batch
+        return {k: (v[:m] if hasattr(v, "__len__") and not isinstance(v, str)
+                    else v) for k, v in batch.items()}
 
     def __len__(self):
         if self.sampler is not None:
@@ -103,7 +125,9 @@ class DataLoader:
     def __iter__(self):
         if self.num_workers <= 0:
             for idx_batch in self._index_batches():
-                yield self._load(idx_batch)
+                batch = self._load(idx_batch)
+                if batch is not None:
+                    yield batch
             return
 
         # bounded look-ahead: at most num_workers + prefetch batches in flight
@@ -114,8 +138,12 @@ class DataLoader:
             for b in self._index_batches():
                 pending.append(pool.submit(self._load, b))
                 if len(pending) >= cap:
-                    yield pending.popleft().result()
+                    batch = pending.popleft().result()
+                    if batch is not None:
+                        yield batch
             while pending:
-                yield pending.popleft().result()
+                batch = pending.popleft().result()
+                if batch is not None:
+                    yield batch
         finally:
             pool.shutdown(wait=False, cancel_futures=True)

@@ -170,6 +170,10 @@ def embed_multimodal(params, cfg, input_ids, image_features, dtype):
 
 
 def _positions(table, length, offset, start=0):
+    if isinstance(start, int) and start + length + offset > table.shape[0]:
+        raise ValueError(
+            f"sequence length {start + length} exceeds max_position_embeddings "
+            f"{table.shape[0] - offset} (jnp.take would fill NaN)")
     idx = start + jnp.arange(length) + offset
     return jnp.take(table, idx, axis=0)
 

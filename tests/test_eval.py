@@ -1,0 +1,149 @@
+"""Evaluation-stack tests with hand-computed ground truths."""
+
+import math
+
+import numpy as np
+import pytest
+
+from kmbart_tpu.eval.bleu import Bleu
+from kmbart_tpu.eval.cider import Cider
+from kmbart_tpu.eval.meteor import Meteor, FUNCTION_WORDS
+from kmbart_tpu.eval.ptb_tokenizer import PTBTokenizer, ptb_tokenize_sentence
+from kmbart_tpu.eval.metrics import compute_metric_inference, use_same_id
+
+
+def test_ptb_tokenizer():
+    t = PTBTokenizer()
+    out = t.tokenize({0: [{"caption": "The man, who isn't tall, said: \"Hello!\""}]})
+    toks = out[0][0].split()
+    assert "," not in toks and "!" not in toks and ":" not in toks
+    assert "is" in toks and "n't" in toks          # contraction split
+    assert toks[0] == "the"                        # lowercased
+    assert "hello" in toks
+
+
+def test_ptb_final_period():
+    toks = ptb_tokenize_sentence("the dog runs.")
+    assert toks == ["the", "dog", "runs", "."]
+    toks2 = ptb_tokenize_sentence("it costs 3.50 dollars.")
+    assert "3.50" in toks2                         # inner period kept
+
+
+def test_bleu_hand_computed():
+    gts = {0: ["the cat is on the mat"]}
+    res = {0: ["the cat sat on the mat"]}
+    score, _ = Bleu(4).compute_score(gts, res)
+    assert score[0] == pytest.approx(5 / 6, rel=1e-6)
+    assert score[1] == pytest.approx(math.sqrt(5 / 6 * 3 / 5), rel=1e-6)
+    assert score[2] == pytest.approx((5 / 6 * 3 / 5 * 1 / 4) ** (1 / 3), rel=1e-6)
+    assert score[3] < 1e-3                         # zero 4-gram matches
+
+
+def test_bleu_perfect_and_brevity():
+    gts = {0: ["a b c d e"], 1: ["f g h i j"]}
+    res = {0: ["a b c d e"], 1: ["f g h i j"]}
+    score, _ = Bleu(4).compute_score(gts, res)
+    assert score[3] == pytest.approx(1.0, abs=1e-6)
+    # short hypothesis -> brevity penalty
+    res2 = {0: ["a b c"], 1: ["f g h"]}
+    score2, _ = Bleu(4).compute_score(gts, res2)
+    assert score2[0] == pytest.approx(math.exp(1 - 10 / 6), rel=1e-4)
+
+
+def test_cider_identical_pairs():
+    gts = {0: ["a b c"], 1: ["d e f"]}
+    res = {0: ["a b c"], 1: ["d e f"]}
+    score, scores = Cider().compute_score(gts, res)
+    # orders 1..3 similarity 1, order 4 empty -> (3/4)*10
+    assert score == pytest.approx(7.5, rel=1e-6)
+    assert scores[0] == pytest.approx(7.5, rel=1e-6)
+
+
+def test_cider_disjoint_is_zero():
+    gts = {0: ["a b c"], 1: ["d e f"]}
+    res = {0: ["x y z"], 1: ["u v w"]}
+    score, _ = Cider().compute_score(gts, res)
+    assert score == pytest.approx(0.0, abs=1e-9)
+
+
+def test_cider_length_penalty():
+    gts = {0: ["a b c d e f g h"], 1: ["p q r s"]}
+    res = {0: ["a b"], 1: ["p q r s"]}
+    _, scores = Cider().compute_score(gts, res)
+    assert scores[0] < scores[1]
+
+
+def test_meteor_identical():
+    m = Meteor()
+    score, _ = m.compute_score({0: ["the cat sat on the mat"]},
+                               {0: ["the cat sat on the mat"]})
+    assert score == pytest.approx(1.0, abs=1e-9)
+
+
+def test_meteor_hand_computed():
+    m = Meteor()
+    # "the cat sat" vs "the cat ran": matches 'the'(function) 'cat'(content)
+    score, _ = m.compute_score({0: ["the cat ran"]}, {0: ["the cat sat"]})
+    P = (0.75 * 1 + 0.25 * 1) / (0.75 * 2 + 0.25 * 1)
+    fmean = P * P / (0.85 * P + 0.15 * P)
+    pen = 0.6 * (1 / 2) ** 0.2
+    assert score == pytest.approx((1 - pen) * fmean, rel=1e-6)
+
+
+def test_meteor_stem_stage():
+    m = Meteor()
+    s_exact, _ = m.compute_score({0: ["dogs run"]}, {0: ["dogs run"]})
+    s_stem, _ = m.compute_score({0: ["dogs run"]}, {0: ["dog runs"]})
+    s_none, _ = m.compute_score({0: ["dogs run"]}, {0: ["cat sleeps"]})
+    assert s_exact > s_stem > s_none == 0.0
+
+
+def test_meteor_order_penalty():
+    m = Meteor()
+    good, _ = m.compute_score({0: ["a brown dog runs home quickly"]},
+                              {0: ["a brown dog runs home quickly"]})
+    scrambled, _ = m.compute_score({0: ["a brown dog runs home quickly"]},
+                                   {0: ["quickly home runs dog brown a"]})
+    assert good > scrambled > 0
+
+
+def test_use_same_id():
+    assert use_same_id("5 waves at 12") == "1 waves at 1"
+    assert use_same_id("1's hat") == "1's hat"
+
+
+def test_compute_metric_inference_end_to_end():
+    refs_list = [
+        {"intent": ["order some food", "ask for the menu"], "before": [],
+         "after": ["eat the meal"]},
+        {"intent": ["wave at a friend"], "before": ["walk inside"],
+         "after": []},
+    ]
+    gens_list = [
+        {"index": 0, "task_type": "intent", "generations": ["order some food"]},
+        {"index": 0, "task_type": "before", "generations": ["ignored empty ref"]},
+        {"index": 0, "task_type": "after", "generations": ["eat a meal"]},
+        {"index": 1, "task_type": "intent", "generations": ["wave at a friend"]},
+    ]
+    out = compute_metric_inference(gens_list, refs_list, verbose=False)
+    for k in ("BLEU1", "BLEU2", "BLEU3", "BLEU4", "METEOR", "CIDEr"):
+        assert k in out and np.isfinite(out[k]), k
+    assert out["BLEU1"] > 0.5
+    assert out["METEOR"] > 0.3
+
+
+def test_diversity(tmp_path):
+    import json
+    train_file = tmp_path / "train.json"
+    train_file.write_text(json.dumps(
+        [{"intent": ["order some food"], "before": ["walk in"]}]))
+    refs_list = [{"intent": ["order some food"]}]
+    gens_list = [
+        {"index": 0, "task_type": "intent",
+         "generations": ["order some food", "buy a new hat"]},
+    ]
+    out = compute_metric_inference(gens_list, refs_list,
+                                   calculate_diversity=True,
+                                   train_file=str(train_file), verbose=False)
+    assert out["Unique"] == 1.0
+    assert out["Novel"] == pytest.approx(0.5)
