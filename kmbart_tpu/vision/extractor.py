@@ -1,0 +1,212 @@
+"""Bottom-up-attention feature extractor, TPU-native.
+
+Parity target: ``FeatureExtractor`` (scripts/feature_extractor.py:18-116)
+over the bottom-up-attention Faster R-CNN (config/extract_config.yaml):
+  - preprocessing: BGR image, caffe pixel-mean subtraction, shortest side
+    600 / longest 1000 (``get_image_blob``);
+  - given-boxes path: backbone -> ROIPool(14) -> res5(dilation 2) ->
+    spatial mean-pool (2048-d) -> 1601-way softmax scores;
+  - proposal path: RPN proposals -> same transform -> per-class NMS(0.3)
+    max-confidence pooling -> CONF_THRESH 0.5 with 10..50 boxes kept.
+
+TPU design: the whole per-image pipeline jits with a static ROI budget;
+boxes are padded to ``max_boxes`` and masked. CUDA NMS becomes the
+fixed-shape lax NMS in vision/nms.py.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kmbart_tpu.vision import resnet
+from kmbart_tpu.vision.nms import class_wise_max_conf, nms_mask
+from kmbart_tpu.vision.roi import roi_pool
+
+PIXEL_MEAN_BGR = np.array([102.9801, 115.9465, 122.7717], np.float32)
+
+
+def get_image_blob(image_bgr, pixel_mean=PIXEL_MEAN_BGR, min_size=600,
+                   max_size=1000):
+    """Resize + mean-subtract (scripts/feature_extractor.py uses the bua
+    ``get_image_blob``). Returns (blob [H', W', 3] float32, im_scale)."""
+    import cv2
+    h, w = image_bgr.shape[:2]
+    scale = min_size / min(h, w)
+    if round(scale * max(h, w)) > max_size:
+        scale = max_size / max(h, w)
+    resized = cv2.resize(image_bgr.astype(np.float32), None, fx=scale,
+                         fy=scale, interpolation=cv2.INTER_LINEAR)
+    return resized - pixel_mean, scale
+
+
+def init_extractor_params(rng, num_classes=1601, num_attributes=401,
+                          rpn_channels=512, num_anchors=12, depth=101):
+    k1, k2, k3, k4, k5, k6, k7 = jax.random.split(rng, 7)
+    d = 2048
+    return {
+        "resnet": resnet.init_resnet_c4(k1, depth),
+        "rpn_conv": resnet._conv_init(k2, 3, 3, 1024, rpn_channels),
+        "rpn_conv_bias": jnp.zeros((rpn_channels,), jnp.float32),
+        "rpn_obj": resnet._conv_init(k3, 1, 1, rpn_channels, num_anchors),
+        "rpn_obj_bias": jnp.zeros((num_anchors,), jnp.float32),
+        "rpn_delta": resnet._conv_init(k4, 1, 1, rpn_channels, num_anchors * 4),
+        "rpn_delta_bias": jnp.zeros((num_anchors * 4,), jnp.float32),
+        "cls_score": jax.random.normal(k5, (d, num_classes), jnp.float32) * 0.01,
+        "cls_score_bias": jnp.zeros((num_classes,), jnp.float32),
+        "attr_score": jax.random.normal(k6, (d, num_attributes), jnp.float32) * 0.01,
+        "attr_score_bias": jnp.zeros((num_attributes,), jnp.float32),
+        "bbox_pred": jax.random.normal(k7, (d, num_classes * 4), jnp.float32) * 0.001,
+        "bbox_pred_bias": jnp.zeros((num_classes * 4,), jnp.float32),
+    }
+
+
+def make_anchors(feat_h, feat_w, stride=16, scales=(4, 8, 16, 32),
+                 ratios=(0.5, 1.0, 2.0)):
+    """Caffe-style anchors: base size = stride * scale at each ratio."""
+    anchors = []
+    for ratio in ratios:
+        for scale in scales:
+            size = stride * scale
+            w = size * np.sqrt(1.0 / ratio)
+            h = size * np.sqrt(ratio)
+            anchors.append([-w / 2, -h / 2, w / 2, h / 2])
+    base = np.array(anchors, np.float32)  # [A, 4]
+    ys, xs = np.meshgrid(np.arange(feat_h), np.arange(feat_w), indexing="ij")
+    centers = np.stack([xs, ys, xs, ys], axis=-1).astype(np.float32) * stride \
+        + stride / 2
+    return (centers[:, :, None, :] + base[None, None]).reshape(-1, 4)
+
+
+def apply_deltas(boxes, deltas, weights=(1.0, 1.0, 1.0, 1.0)):
+    wx, wy, ww, wh = weights
+    widths = boxes[:, 2] - boxes[:, 0]
+    heights = boxes[:, 3] - boxes[:, 1]
+    cx = boxes[:, 0] + 0.5 * widths
+    cy = boxes[:, 1] + 0.5 * heights
+    dx, dy, dw, dh = (deltas[:, 0] / wx, deltas[:, 1] / wy,
+                      jnp.clip(deltas[:, 2] / ww, -10, 4.135),
+                      jnp.clip(deltas[:, 3] / wh, -10, 4.135))
+    pcx = dx * widths + cx
+    pcy = dy * heights + cy
+    pw = jnp.exp(dw) * widths
+    ph = jnp.exp(dh) * heights
+    return jnp.stack([pcx - pw / 2, pcy - ph / 2,
+                      pcx + pw / 2, pcy + ph / 2], axis=1)
+
+
+class FeatureExtractor:
+    """Drop-in for the reference FeatureExtractor: ``extract_feature(image,
+    boxes=None)`` -> {'boxes', 'scores', 'features'} in original-image
+    coordinates."""
+
+    def __init__(self, params=None, rng=None, num_classes=1601,
+                 min_boxes=10, max_boxes=50, conf_thresh=0.5,
+                 pre_nms_topk=6000, post_nms_topk=300, rpn_min_size=16,
+                 dtype=jnp.bfloat16):
+        if params is None:
+            params = init_extractor_params(
+                rng if rng is not None else jax.random.PRNGKey(0),
+                num_classes=num_classes)
+        self.params = params
+        self.min_boxes = min_boxes
+        self.max_boxes = max_boxes
+        self.conf_thresh = conf_thresh
+        self.pre_nms_topk = pre_nms_topk
+        self.post_nms_topk = post_nms_topk
+        self.rpn_min_size = rpn_min_size
+        self.dtype = dtype
+        self._roi_fn = {}
+
+    # ---- core per-image computations (jitted per feature-map shape) -------
+
+    def _roi_features(self, params, feat, boxes):
+        """feat [H, W, C]; boxes [N, 4] in *resized-image* coords ->
+        (pooled [N, 2048], scores [N, classes])."""
+        pooled = roi_pool(feat, boxes, output_size=14, spatial_scale=1.0 / 16)
+        x = resnet.res5_head(params["resnet"], pooled, dilation=2,
+                             dtype=self.dtype)
+        feats = jnp.mean(x, axis=(1, 2))  # [N, 2048]
+        scores = jnp.dot(feats.astype(self.dtype),
+                         params["cls_score"].astype(self.dtype),
+                         preferred_element_type=jnp.float32) \
+            + params["cls_score_bias"]
+        return feats, jax.nn.softmax(scores, axis=-1)
+
+    def _backbone(self, params, blob):
+        return resnet.backbone_c4(params["resnet"], blob[None],
+                                  dtype=self.dtype)[0]
+
+    def _rpn_proposals(self, params, feat, im_h, im_w):
+        """Returns (proposals [post_nms_topk, 4], validity mask)."""
+        x = jax.nn.relu(resnet.conv(feat[None], params["rpn_conv"],
+                                    dtype=self.dtype)[0]
+                        + params["rpn_conv_bias"])
+        obj = resnet.conv(x[None], params["rpn_obj"], dtype=self.dtype)[0] \
+            + params["rpn_obj_bias"]
+        deltas = resnet.conv(x[None], params["rpn_delta"], dtype=self.dtype)[0] \
+            + params["rpn_delta_bias"]
+        H, W, A = obj.shape
+        anchors = jnp.asarray(make_anchors(H, W))
+        obj = obj.reshape(-1)
+        deltas = deltas.reshape(-1, 4)
+        boxes = apply_deltas(anchors, deltas)
+        boxes = jnp.stack([
+            jnp.clip(boxes[:, 0], 0, im_w), jnp.clip(boxes[:, 1], 0, im_h),
+            jnp.clip(boxes[:, 2], 0, im_w), jnp.clip(boxes[:, 3], 0, im_h),
+        ], axis=1)
+        ok = ((boxes[:, 2] - boxes[:, 0]) >= self.rpn_min_size) & \
+             ((boxes[:, 3] - boxes[:, 1]) >= self.rpn_min_size)
+        obj = jnp.where(ok, obj, -jnp.inf)
+        k = min(self.pre_nms_topk, boxes.shape[0])
+        top_scores, top_idx = jax.lax.top_k(obj, k)
+        top_boxes = boxes[top_idx]
+        keep = nms_mask(top_boxes, top_scores, 0.7,
+                        valid=jnp.isfinite(top_scores))
+        score_kept = jnp.where(keep, top_scores, -jnp.inf)
+        n = min(self.post_nms_topk, k)
+        final_scores, final_idx = jax.lax.top_k(score_kept, n)
+        return top_boxes[final_idx], jnp.isfinite(final_scores)
+
+    # ---- public API ----------------------------------------------------------
+
+    def extract_feature(self, image, boxes=None):
+        if boxes is None:
+            return self._extract_without_bbox(image)
+        return self._extract_with_bbox(image, boxes)
+
+    def _extract_with_bbox(self, image, boxes):
+        """Given-boxes path (scripts/feature_extractor.py:50-73)."""
+        blob, im_scale = get_image_blob(image)
+        scaled = np.asarray(boxes, np.float32) * im_scale
+        feat = self._backbone(self.params, jnp.asarray(blob))
+        feats, scores = self._roi_features(self.params, feat,
+                                           jnp.asarray(scaled))
+        return {
+            "boxes": np.asarray(scaled) / im_scale,
+            "scores": np.asarray(scores),
+            "features": np.asarray(feats),
+        }
+
+    def _extract_without_bbox(self, image):
+        """Proposal path (scripts/feature_extractor.py:75-116)."""
+        blob, im_scale = get_image_blob(image)
+        feat = self._backbone(self.params, jnp.asarray(blob))
+        h, w = blob.shape[:2]
+        proposals, valid = self._rpn_proposals(self.params, feat, h, w)
+        feats, scores = self._roi_features(self.params, feat, proposals)
+
+        max_conf = class_wise_max_conf(proposals, scores, 0.3)
+        max_conf = jnp.where(valid, max_conf, 0.0)
+        max_conf = np.asarray(max_conf)
+        keep = np.nonzero(max_conf >= self.conf_thresh)[0]
+        if len(keep) < self.min_boxes:
+            keep = np.argsort(-max_conf)[: self.min_boxes]
+        elif len(keep) > self.max_boxes:
+            keep = np.argsort(-max_conf)[: self.max_boxes]
+        return {
+            "boxes": np.asarray(proposals)[keep] / im_scale,
+            "scores": np.asarray(scores)[keep],
+            "features": np.asarray(feats)[keep],
+        }

@@ -1,0 +1,123 @@
+"""Knowledge subsystem tests: GPT trunk, GPT-1 BPE, AtomicGenerator,
+reasoning classifier."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kmbart_tpu.knowledge import gpt
+from kmbart_tpu.knowledge.bpe_gpt1 import GPT1BPE
+from kmbart_tpu.knowledge.atomic import AtomicGenerator, RESULT_MAP
+from kmbart_tpu.models.reasoning import (
+    AtomicCollator, init_reasoning_params, reasoning_loss)
+
+
+@pytest.fixture(scope="module")
+def gpt1_assets(tmp_path_factory):
+    d = tmp_path_factory.mktemp("gpt1")
+    # char-level vocab with </w> variants + specials
+    vocab = {}
+    for ch in "abcdefghijklmnopqrstuvwxyz0123456789 '":
+        vocab[ch] = len(vocab)
+        vocab[ch + "</w>"] = len(vocab)
+    for sp in ("none</w>", "<END>", "<xIntent>", "<xWant>", "<xNeed>",
+               "<xReact>", "<xEffect>"):
+        vocab[sp] = len(vocab)
+    (d / "vocab.json").write_text(json.dumps(vocab))
+    (d / "merges.txt").write_text("#version: toy\n")
+    return str(d), vocab
+
+
+def test_gpt_incremental_matches_full(gpt1_assets):
+    params = gpt.init_gpt_params(jax.random.PRNGKey(0), n_vocab=50, n_ctx=16,
+                                 d_model=32, n_layers=2, n_heads=4)
+    ids = np.random.default_rng(0).integers(0, 50, (2, 8)).astype(np.int32)
+    full = gpt.gpt_forward(params, ids, n_heads=4, dtype=jnp.float32)
+    cache = gpt.init_gpt_cache(params, 2, 8, n_heads=4, dtype=jnp.float32)
+    outs = []
+    for t in range(8):
+        h, cache = gpt.gpt_step(params, ids[:, t:t + 1], cache, jnp.int32(t),
+                                n_heads=4, dtype=jnp.float32)
+        outs.append(h[:, 0])
+    inc = jnp.stack(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(inc),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_gpt1_bpe_roundtrip(gpt1_assets):
+    d, vocab = gpt1_assets
+    enc = GPT1BPE(d + "/vocab.json", d + "/merges.txt")
+    ids = enc.encode("the dog runs")
+    assert len(ids) > 0
+    assert enc.decode(ids) == "the dog runs"
+
+
+def test_atomic_generator(gpt1_assets):
+    d, vocab = gpt1_assets
+    enc = GPT1BPE(d + "/vocab.json", d + "/merges.txt")
+    n_vocab = len(vocab)
+    params = gpt.init_gpt_params(jax.random.PRNGKey(1), n_vocab,
+                                 n_ctx=17 + 34 + 1, d_model=32, n_layers=2,
+                                 n_heads=4)
+    cat_tokens = {c: vocab["<%s>" % c] for c in RESULT_MAP}
+    gen = AtomicGenerator(params, enc, sampling_algorithm="greedy",
+                          category_tokens=cat_tokens, n_heads=4)
+    out = gen.get_reason("person sits at a table")
+    assert set(out) == {"after", "before", "intent"}
+    for v in out.values():
+        assert isinstance(v, list)
+        for s in v:
+            assert s != "none"
+    # greedy is deterministic
+    out2 = gen.get_reason("person sits at a table")
+    assert out == out2
+
+
+def test_reasoning_classifier_and_collator(np_rng):
+    txt_dim, image_dim, inner = 16, 40, 24
+    params = init_reasoning_params(jax.random.PRNGKey(0), txt_dim, image_dim,
+                                   inner)
+    loss, logits = reasoning_loss(
+        params, np_rng.normal(size=(6, txt_dim)).astype(np.float32),
+        np_rng.normal(size=(6, image_dim)).astype(np.float32),
+        np.asarray([0, 1, 0, 1, 1, 0], np.int32))
+    assert np.isfinite(float(loss))
+    assert logits.shape == (6, 2)
+
+    col = AtomicCollator(
+        text_encode_fn=lambda texts: np_rng.normal(size=(len(texts), txt_dim)),
+        image_seq_length=4, image_feature_size=10, shuffle_ratio=0.5,
+        rng=np.random.default_rng(0))
+    batch = col([{"event": f"e{i}",
+                  "image_features": np_rng.normal(size=(3, 10))}
+                 for i in range(8)])
+    assert batch["text"].shape == (8, txt_dim)
+    assert batch["image"].shape == (8, 40)
+    assert set(np.unique(batch["label"])) <= {0, 1}
+    assert (batch["label"] == 0).any() and (batch["label"] == 1).any()
+
+
+def test_sample_sentence(tiny_cfg, np_rng):
+    from kmbart_tpu.models.conditional import init_conditional_params
+    from kmbart_tpu.models.utils import sample_sentence
+
+    cfg = tiny_cfg
+    params = init_conditional_params(jax.random.PRNGKey(2), cfg)
+    ids = np_rng.integers(4, 80, (3, 9)).astype(np.int32)
+    am = np.ones((3, 9), np.int32)
+
+    class Tok:
+        bos_token_id = cfg.bos_token_id
+        eos_token_id = cfg.eos_token_id
+        pad_token_id = cfg.pad_token_id
+
+    tokens, logprobs = sample_sentence(params, cfg, ids, None, am, Tok(),
+                                       top_k=8, max_length=10,
+                                       rng=jax.random.PRNGKey(0))
+    assert tokens.shape == (3, 10)
+    assert logprobs.shape == (3, 1)
+    assert (logprobs <= 0).all()
+    assert (tokens[:, 0] == cfg.bos_token_id).all()

@@ -1,0 +1,133 @@
+"""Vision-stack tests: NMS vs numpy reference, ROI ops, extractor paths."""
+
+import numpy as np
+import pytest
+
+from kmbart_tpu.vision.nms import box_iou, class_wise_max_conf, nms
+from kmbart_tpu.vision.roi import roi_align, roi_pool
+
+
+def _np_nms(boxes, scores, thresh):
+    """Classic O(n^2) reference NMS."""
+    x1, y1, x2, y2 = boxes.T
+    areas = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
+    order = np.argsort(-scores)
+    keep = []
+    while order.size:
+        i = order[0]
+        keep.append(i)
+        xx1 = np.maximum(x1[i], x1[order[1:]])
+        yy1 = np.maximum(y1[i], y1[order[1:]])
+        xx2 = np.minimum(x2[i], x2[order[1:]])
+        yy2 = np.minimum(y2[i], y2[order[1:]])
+        inter = np.clip(xx2 - xx1, 0, None) * np.clip(yy2 - yy1, 0, None)
+        iou = inter / (areas[i] + areas[order[1:]] - inter + 1e-12)
+        order = order[1:][iou <= thresh]
+    return np.array(keep)
+
+
+def test_nms_matches_reference(np_rng):
+    for _ in range(5):
+        n = 40
+        xy = np_rng.uniform(0, 80, (n, 2))
+        wh = np_rng.uniform(5, 40, (n, 2))
+        boxes = np.concatenate([xy, xy + wh], axis=1).astype(np.float32)
+        scores = np_rng.random(n).astype(np.float32)
+        ours = nms(boxes, scores, 0.5)
+        ref = _np_nms(boxes, scores, 0.5)
+        np.testing.assert_array_equal(np.sort(ours), np.sort(ref))
+
+
+def test_box_iou():
+    a = np.array([[0, 0, 10, 10]], np.float32)
+    b = np.array([[0, 0, 10, 10], [5, 5, 15, 15], [20, 20, 30, 30]], np.float32)
+    iou = np.asarray(box_iou(a, b))[0]
+    assert iou[0] == pytest.approx(1.0)
+    assert iou[1] == pytest.approx(25 / 175)
+    assert iou[2] == pytest.approx(0.0)
+
+
+def test_class_wise_max_conf(np_rng):
+    boxes = np.array([[0, 0, 10, 10], [0, 0, 10, 10.5], [50, 50, 60, 60]],
+                     np.float32)
+    # class 0 is background (skipped); class 1 scores
+    scores = np.array([[0.1, 0.9], [0.1, 0.8], [0.2, 0.7]], np.float32)
+    mc = np.asarray(class_wise_max_conf(boxes, scores, 0.5))
+    assert mc[0] == pytest.approx(0.9)
+    assert mc[1] == pytest.approx(0.0)   # suppressed by box 0
+    assert mc[2] == pytest.approx(0.7)
+
+
+def test_roi_align_constant_map():
+    feat = np.ones((16, 16, 3), np.float32) * 5.0
+    boxes = np.array([[2, 2, 10, 10]], np.float32)
+    out = np.asarray(roi_align(feat, boxes, output_size=4, spatial_scale=1.0))
+    assert out.shape == (1, 4, 4, 3)
+    np.testing.assert_allclose(out, 5.0, rtol=1e-5)
+
+
+def test_roi_align_gradient_map():
+    """On a linear ramp f(x,y)=x, bin centres must recover x coordinates."""
+    xs = np.arange(32, dtype=np.float32)
+    feat = np.tile(xs[None, :, None], (32, 1, 1))
+    boxes = np.array([[4, 4, 20, 20]], np.float32)
+    out = np.asarray(roi_align(feat, boxes, output_size=4, spatial_scale=1.0))
+    bin_w = 16 / 4
+    expected = 4 - 0.5 + (np.arange(4) + 0.5) * bin_w
+    np.testing.assert_allclose(out[0, 0, :, 0], expected, rtol=1e-5)
+
+
+def test_roi_pool_max_exact():
+    feat = np.zeros((16, 16, 1), np.float32)
+    feat[4, 4, 0] = 9.0
+    boxes = np.array([[0, 0, 15, 15]], np.float32)
+    out = np.asarray(roi_pool(feat, boxes, output_size=2, spatial_scale=1.0))
+    assert out.shape == (1, 2, 2, 1)
+    assert out[0, 0, 0, 0] == pytest.approx(9.0)   # peak in the top-left bin
+    assert out[0, 1, 1, 0] == pytest.approx(0.0)
+
+def test_roi_pool_matches_naive(np_rng):
+    """Exact parity vs a naive per-bin integer max (caffe ROIPool)."""
+    feat = np_rng.normal(size=(20, 24, 3)).astype(np.float32)
+    boxes = np.array([[2, 3, 18, 15], [0, 0, 23, 19]], np.float32)
+    P = 7
+    out = np.asarray(roi_pool(feat, boxes, output_size=P, spatial_scale=1.0))
+    for n, (x1, y1, x2, y2) in enumerate(boxes.astype(int)):
+        rw = max(x2 - x1 + 1, 1) / P
+        rh = max(y2 - y1 + 1, 1) / P
+        for i in range(P):
+            for j in range(P):
+                ys = int(np.floor(y1 + i * rh))
+                ye = int(np.ceil(y1 + (i + 1) * rh))
+                xs = int(np.floor(x1 + j * rw))
+                xe = int(np.ceil(x1 + (j + 1) * rw))
+                ref = feat[max(ys, 0):ye, max(xs, 0):xe].max(axis=(0, 1))
+                np.testing.assert_allclose(out[n, i, j], ref, rtol=1e-5)
+
+
+def test_extractor_given_boxes(np_rng):
+    from kmbart_tpu.vision.extractor import FeatureExtractor
+    import jax
+    ex = FeatureExtractor(rng=jax.random.PRNGKey(0), num_classes=11,
+                          dtype="float32")
+    img = np_rng.integers(0, 255, (64, 80, 3)).astype(np.uint8)
+    boxes = np.array([[0, 0, 80, 64], [10, 10, 40, 40]], np.float32)
+    out = ex.extract_feature(img, boxes)
+    assert out["features"].shape == (2, 2048)
+    assert out["scores"].shape == (2, 11)
+    np.testing.assert_allclose(out["scores"].sum(-1), 1.0, rtol=1e-4)
+    np.testing.assert_allclose(out["boxes"], boxes, rtol=1e-5)
+
+
+def test_extractor_proposal_path(np_rng):
+    from kmbart_tpu.vision.extractor import FeatureExtractor
+    import jax
+    ex = FeatureExtractor(rng=jax.random.PRNGKey(1), num_classes=11,
+                          min_boxes=3, max_boxes=6, pre_nms_topk=200,
+                          post_nms_topk=24, dtype="float32")
+    img = np_rng.integers(0, 255, (64, 64, 3)).astype(np.uint8)
+    out = ex.extract_feature(img)
+    n = out["features"].shape[0]
+    assert 3 <= n <= 6
+    assert out["boxes"].shape == (n, 4)
+    assert out["scores"].shape == (n, 11)
