@@ -200,11 +200,11 @@ def _rngs_for(rng, names):
     return dict(zip(names, subkeys))
 
 
-def _encoder_layer(x, lp, attn_bias, cfg, rng, train, dtype, act):
+def _encoder_layer(x, lp, key_mask, cfg, rng, train, dtype, act):
     rngs = _rngs_for(rng, ["attn", "res1", "act", "ffn"])
     residual = x
     h, _ = multi_head_attention(
-        lp["self_attn"], x, bias=attn_bias,
+        lp["self_attn"], x, key_mask=key_mask,
         num_heads=cfg.encoder_attention_heads,
         dropout_rate=cfg.attention_dropout, rng=rngs["attn"],
         train=train, dtype=dtype)
@@ -283,8 +283,6 @@ def encode(params, cfg: MultiModalBartConfig, input_ids, image_features=None,
         rng, sub = jax.random.split(rng)
         x = dropout(x, cfg.dropout, sub, train)
 
-    bias = None if attention_mask is None else padding_bias(attention_mask)
-
     def body(carry, scanned):
         x, rng = carry
         lp, i = scanned
@@ -293,7 +291,7 @@ def encode(params, cfg: MultiModalBartConfig, input_ids, image_features=None,
             lrng, drop_rng = jax.random.split(lrng)
         else:
             lrng = drop_rng = None
-        y = _encoder_layer(x, lp, bias, cfg, lrng, train, dtype, act)
+        y = _encoder_layer(x, lp, attention_mask, cfg, lrng, train, dtype, act)
         y = _maybe_layerdrop(y, x, cfg.encoder_layerdrop, drop_rng, train)
         return (y, rng), None
 

@@ -68,6 +68,7 @@ def multi_head_attention(
     dtype=jnp.bfloat16,
     cache: Optional[dict] = None,
     cache_index=None,
+    key_mask: Optional[jnp.ndarray] = None,
 ):
     """Full attention block: QKV projections, core, output projection.
 
@@ -103,6 +104,18 @@ def multi_head_attention(
             new_cache = {"k": k, "v": v}
         else:
             new_cache = None
+
+    if key_mask is not None and bias is None:
+        # key-padding-only masking: eligible for the fused Pallas kernel
+        from kmbart_tpu.ops.pallas_attention import (
+            flash_self_attention, flash_supported)
+        if flash_supported(q.shape[1], k.shape[1], q.shape[-1],
+                           dropout_rate, train, True):
+            out = flash_self_attention(q, k, v, key_mask, dtype=dtype)
+            out = dense(merge_heads(out), params["o_kernel"],
+                        params["o_bias"], dtype)
+            return out, new_cache
+        bias = padding_bias(key_mask)
 
     out = attention_core(q, k, v, bias, dropout_rate=dropout_rate, rng=rng,
                          train=train, dtype=dtype)

@@ -1,0 +1,115 @@
+"""Pallas flash attention for TPU (the encoder/decoder training hot path).
+
+Online-softmax blockwise attention: each grid program owns one
+(batch*head, q-block) tile, streams K/V blocks through VMEM with a running
+(max, denominator, accumulator) triple, and never materialises the
+[Tq, Tk] score matrix in HBM. For this model family's sequence lengths the
+win is fusion (one kernel instead of 4 HBM round trips); the same kernel
+scales to long-context configs (SURVEY.md §5) because K streams in blocks.
+
+Falls back to the XLA composite in ops/attention.py off-TPU or when
+attention dropout is active (the reference's configs keep it 0.0:
+config/pretrain_base.json attention_dropout).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+NEG_INF = -1e9
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, block_k):
+    q = q_ref[0].astype(jnp.float32) * scale          # [bq, hd]
+    Tk = k_ref.shape[1]
+    bq, hd = q.shape
+    nkb = Tk // block_k
+
+    def body(kb, carry):
+        acc, m, l = carry
+        k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        b = bias_ref[0, 0, pl.ds(kb * block_k, block_k)].astype(jnp.float32)
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) + b[None, :]
+        m_new = jnp.maximum(m, jnp.max(scores, axis=1, keepdims=True))
+        p = jnp.exp(scores - m_new)
+        alpha = jnp.exp(m - m_new)
+        acc = acc * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+        return acc, m_new, l
+
+    acc = jnp.zeros((bq, hd), jnp.float32)
+    m = jnp.full((bq, 1), NEG_INF, jnp.float32)
+    l = jnp.zeros((bq, 1), jnp.float32)
+    acc, m, l = jax.lax.fori_loop(0, nkb, body, (acc, m, l))
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def flash_attention(q, k, v, key_bias, *, block_q=128, block_k=128,
+                    interpret=False):
+    """q [BH, Tq, hd]; k/v [BH, Tk, hd]; key_bias [BH, Tk] additive fp32
+    (0 keep / NEG_INF mask). Returns [BH, Tq, hd] fp32."""
+    BH, Tq, hd = q.shape
+    Tk = k.shape[1]
+    block_q = min(block_q, Tq)
+    block_k = min(block_k, Tk)
+    assert Tq % block_q == 0 and Tk % block_k == 0
+
+    kernel = functools.partial(_flash_kernel, scale=hd ** -0.5,
+                               block_k=block_k)
+    key_bias = key_bias.reshape(BH, 1, Tk)  # TPU tiling: block == full dims
+    return pl.pallas_call(
+        kernel,
+        grid=(BH, Tq // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, hd), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, Tk, hd), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, Tk, hd), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, 1, Tk), lambda i, j: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, hd), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((BH, Tq, hd), jnp.float32),
+        interpret=interpret,
+    )(q, k, v, key_bias)
+
+
+def flash_self_attention(q, k, v, attention_mask=None, *, interpret=False,
+                         dtype=jnp.bfloat16):
+    """Drop-in for the non-causal core in ops/attention.py:
+    q/k/v [B, T, H, hd], attention_mask [B, Tk] (1 keep / 0 pad) ->
+    [B, Tq, H, hd] fp32."""
+    B, Tq, H, hd = q.shape
+    Tk = k.shape[1]
+
+    def to_bh(x):
+        return x.astype(dtype).transpose(0, 2, 1, 3).reshape(B * H, -1, hd)
+
+    if attention_mask is None:
+        key_bias = jnp.zeros((B, Tk), jnp.float32)
+    else:
+        key_bias = jnp.where(attention_mask.astype(bool), 0.0, NEG_INF
+                             ).astype(jnp.float32)
+    key_bias = jnp.repeat(key_bias, H, axis=0)
+
+    out = flash_attention(to_bh(q), to_bh(k), to_bh(v), key_bias,
+                          interpret=interpret)
+    return out.reshape(B, H, Tq, hd).transpose(0, 2, 1, 3)
+
+
+def flash_supported(q_len, k_len, head_dim, attention_dropout, train,
+                    bias_is_key_only):
+    """Whether the fused kernel applies (TPU backend, no attn dropout,
+    tile-able shapes, key-padding-only masking)."""
+    if jax.default_backend() != "tpu":
+        return False
+    if train and attention_dropout > 0.0:
+        return False
+    if not bias_is_key_only:
+        return False
+    return q_len % 8 == 0 and k_len % 8 == 0 and head_dim % 8 == 0

@@ -56,7 +56,12 @@ def nms_mask(boxes, scores, iou_threshold, valid=None):
 
 def nms(boxes, scores, iou_threshold):
     """Indices of kept boxes, score-descending (torchvision/CUDA-nms
-    return convention). Host-friendly (returns np.ndarray of indices)."""
+    return convention). Uses the C++ kernel on host when built
+    (native/kmbart_native.cpp), otherwise the lax version."""
+    from kmbart_tpu import _native
+    if _native.available():
+        return _native.nms(np.asarray(boxes, np.float32),
+                           np.asarray(scores, np.float32), iou_threshold)
     keep = np.asarray(nms_mask(jnp.asarray(boxes, jnp.float32),
                                jnp.asarray(scores, jnp.float32),
                                iou_threshold))
