@@ -22,10 +22,15 @@ from kmbart_tpu.training.state import TrainState
 
 
 def build_train_step(loss_fn, optimizer, mesh=None, param_specs=None,
-                     donate=True):
+                     donate=True, skip_nonfinite=True):
     """loss_fn(params, batch, rng) -> (loss, metrics_dict_of_scalars).
 
     Returns jitted step(state, batch, rng) -> (state, metrics).
+
+    ``skip_nonfinite``: failure-detection guard (SURVEY.md §5 — absent in
+    the reference): when the loss or any gradient is non-finite the update
+    is dropped (params/opt state keep their previous values) and
+    ``metrics["skipped"]`` is 1 — one bad batch cannot poison the run.
     """
 
     def step(state: TrainState, batch, rng):
@@ -37,9 +42,18 @@ def build_train_step(loss_fn, optimizer, mesh=None, param_specs=None,
         (loss, metrics), grads = jax.value_and_grad(lf, has_aux=True)(state.params)
         new_params, new_opt = optimizer.update(grads, state.opt_state,
                                                state.params)
+        metrics = dict(metrics)
+        if skip_nonfinite:
+            grads_ok = jax.tree.reduce(
+                lambda a, g: a & jnp.all(jnp.isfinite(g)),
+                grads, jnp.isfinite(loss))
+            pick = lambda new, old: jax.tree.map(
+                lambda n, o: jnp.where(grads_ok, n, o), new, old)
+            new_params = pick(new_params, state.params)
+            new_opt = pick(new_opt, state.opt_state)
+            metrics["skipped"] = 1.0 - grads_ok.astype(jnp.float32)
         new_state = TrainState(params=new_params, opt_state=new_opt,
                                step=state.step + 1)
-        metrics = dict(metrics)
         metrics["loss"] = loss
         return new_state, metrics
 

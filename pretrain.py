@@ -142,7 +142,14 @@ def main(args):
         loss, aux = pretraining_loss(p, cfg, b, train=True, rng=rng)
         return loss, {k: v for k, v in aux['losses'].items() if k != 'loss'}
 
-    train_step = build_train_step(loss_fn, optimizer, mesh=mesh)
+    param_specs = None
+    if mesh is not None and mesh.shape.get('model', 1) > 1:
+        from kmbart_tpu.parallel.tp import (
+            shard_train_state, train_state_shardings)
+        param_specs = train_state_shardings(mesh, state.params)
+        state = shard_train_state(mesh, state)
+    train_step = build_train_step(loss_fn, optimizer, mesh=mesh,
+                                  param_specs=param_specs)
 
     def callback(step, epoch, state, logger, **kwargs):
         if logger is not None and step % 100 == 0:

@@ -164,3 +164,64 @@ def test_eval_step(tiny_cfg, np_rng):
     ev = build_eval_step(loss_fn)
     m = ev(params, device_arrays(_batch(cfg, np_rng)))
     assert np.isfinite(float(m["loss"]))
+
+
+def test_nonfinite_guard(tiny_cfg, np_rng):
+    """A batch that produces NaN gradients must not poison the params."""
+    cfg = tiny_cfg
+    params = init_conditional_params(jax.random.PRNGKey(0), cfg)
+    batch = _batch(cfg, np_rng, B=4)
+    bad = dict(batch)
+    bad["image_features"] = np.full_like(batch["image_features"], np.nan)
+
+    def loss_fn(p, b, rng):
+        loss, _ = conditional_loss(p, cfg, b)
+        return loss, {}
+
+    step = build_train_step(loss_fn, adamw(lr=1e-3), donate=False)
+    state = TrainState.create(params)
+    new_state, metrics = step(state, device_arrays(bad), jax.random.PRNGKey(0))
+    assert float(metrics["skipped"]) == 1.0
+    for a, b in zip(jax.tree.leaves(state.params),
+                    jax.tree.leaves(new_state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # a good batch still updates
+    new_state2, metrics2 = step(new_state, device_arrays(batch),
+                                jax.random.PRNGKey(0))
+    assert float(metrics2["skipped"]) == 0.0
+    assert not np.allclose(
+        np.asarray(new_state.params["model"]["shared"]),
+        np.asarray(new_state2.params["model"]["shared"]))
+
+
+def test_tensor_parallel_matches_single(tiny_cfg, np_rng):
+    """2-D data x model mesh (DP=4, TP=2) training == single-device at fp32."""
+    from kmbart_tpu.parallel.tp import shard_train_state, train_state_shardings
+
+    cfg = tiny_cfg.replace(dtype="float32")
+    params = init_conditional_params(jax.random.PRNGKey(0), cfg)
+    batch = device_arrays(_batch(cfg, np_rng, B=16))
+
+    def loss_fn(p, b, rng):
+        loss, _ = conditional_loss(p, cfg, b, train=False, rng=None)
+        return loss, {}
+
+    opt = adamw(lr=1e-3)
+    single = build_train_step(loss_fn, opt, donate=False)
+    state_a = TrainState.create(params)
+    rng = jax.random.PRNGKey(1)
+    state_a, m_a = single(state_a, batch, rng)
+
+    mesh = make_mesh(model_parallel=2)
+    assert dict(mesh.shape) == {"data": 4, "model": 2}
+    specs = train_state_shardings(mesh, params)
+    sharded = build_train_step(loss_fn, opt, mesh=mesh, param_specs=specs,
+                               donate=False)
+    state_b = shard_train_state(mesh, TrainState.create(params))
+    state_b, m_b = sharded(state_b, batch, rng)
+
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(state_a.params),
+                    jax.tree.leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)

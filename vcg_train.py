@@ -109,7 +109,14 @@ def main(args):
         loss, _ = conditional_loss(p, cfg, b, train=True, rng=rng)
         return loss, {}
 
-    train_step = build_train_step(loss_fn, optimizer, mesh=mesh)
+    param_specs = None
+    if mesh is not None and mesh.shape.get('model', 1) > 1:
+        from kmbart_tpu.parallel.tp import (
+            shard_train_state, train_state_shardings)
+        param_specs = train_state_shardings(mesh, state.params)
+        state = shard_train_state(mesh, state)
+    train_step = build_train_step(loss_fn, optimizer, mesh=mesh,
+                                  param_specs=param_specs)
 
     def eval_loss_fn(p, b, rng):
         loss, _ = conditional_loss(p, cfg, b, train=False)
