@@ -215,7 +215,8 @@ def _encoder_layer(x, lp, key_mask, cfg, rng, train, dtype, act):
 
 
 def _decoder_layer(x, lp, self_bias, cross_bias, enc_hidden, cfg, rng, train,
-                   dtype, act, cache=None, cache_index=None):
+                   dtype, act, cache=None, cache_index=None,
+                   self_key_mask=None, cross_key_mask=None, causal=False):
     rngs = _rngs_for(rng, ["attn", "res1", "xattn", "res2", "act", "ffn"])
     new_cache = None
 
@@ -226,7 +227,8 @@ def _decoder_layer(x, lp, self_bias, cross_bias, enc_hidden, cfg, rng, train,
         dropout_rate=cfg.attention_dropout, rng=rngs["attn"],
         train=train, dtype=dtype,
         cache=None if cache is None else cache["self"],
-        cache_index=cache_index)
+        cache_index=cache_index,
+        key_mask=self_key_mask, causal=causal)
     h = dropout(h, cfg.dropout, rngs["res1"], train)
     x = layer_norm(residual + h, lp["self_attn_layer_norm"]["scale"],
                    lp["self_attn_layer_norm"]["bias"])
@@ -245,7 +247,7 @@ def _decoder_layer(x, lp, self_bias, cross_bias, enc_hidden, cfg, rng, train,
             lp["encoder_attn"], x, kv_hidden=enc_hidden, bias=cross_bias,
             num_heads=cfg.decoder_attention_heads,
             dropout_rate=cfg.attention_dropout, rng=rngs["xattn"],
-            train=train, dtype=dtype)
+            train=train, dtype=dtype, key_mask=cross_key_mask)
     h = dropout(h, cfg.dropout, rngs["res2"], train)
     x = layer_norm(residual + h, lp["encoder_attn_layer_norm"]["scale"],
                    lp["encoder_attn_layer_norm"]["bias"])
@@ -334,11 +336,6 @@ def decode(params, cfg: MultiModalBartConfig, decoder_input_ids, enc_hidden,
 
     x, rng = _decoder_embed(params, cfg, decoder_input_ids, 0, train, rng)
 
-    self_bias = causal_bias(T, T)
-    if decoder_attention_mask is not None:
-        self_bias = self_bias + padding_bias(decoder_attention_mask)
-    cross_bias = None if enc_attention_mask is None else padding_bias(enc_attention_mask)
-
     def body(carry, scanned):
         x, rng = carry
         lp, i = scanned
@@ -347,8 +344,11 @@ def decode(params, cfg: MultiModalBartConfig, decoder_input_ids, enc_hidden,
             lrng, drop_rng = jax.random.split(lrng)
         else:
             lrng = drop_rng = None
-        y, _ = _decoder_layer(x, lp, self_bias, cross_bias, enc_hidden, cfg,
-                              lrng, train, dtype, act)
+        y, _ = _decoder_layer(x, lp, None, None, enc_hidden, cfg,
+                              lrng, train, dtype, act,
+                              self_key_mask=decoder_attention_mask,
+                              cross_key_mask=enc_attention_mask,
+                              causal=True)
         y = _maybe_layerdrop(y, x, cfg.decoder_layerdrop, drop_rng, train)
         return (y, rng), None
 

@@ -69,6 +69,7 @@ def multi_head_attention(
     cache: Optional[dict] = None,
     cache_index=None,
     key_mask: Optional[jnp.ndarray] = None,
+    causal: bool = False,
 ):
     """Full attention block: QKV projections, core, output projection.
 
@@ -105,17 +106,21 @@ def multi_head_attention(
         else:
             new_cache = None
 
-    if key_mask is not None and bias is None:
-        # key-padding-only masking: eligible for the fused Pallas kernel
+    if bias is None and (key_mask is not None or causal):
+        # key-padding (+ optional causal) masking: eligible for the fused
+        # Pallas kernel
         from kmbart_tpu.ops.pallas_attention import (
             flash_self_attention, flash_supported)
         if flash_supported(q.shape[1], k.shape[1], q.shape[-1],
-                           dropout_rate, train, True):
-            out = flash_self_attention(q, k, v, key_mask, dtype=dtype)
+                           dropout_rate, train, True, causal=causal):
+            out = flash_self_attention(q, k, v, key_mask, causal=causal,
+                                       dtype=dtype)
             out = dense(merge_heads(out), params["o_kernel"],
                         params["o_bias"], dtype)
             return out, new_cache
-        bias = padding_bias(key_mask)
+        bias = 0.0 if key_mask is None else padding_bias(key_mask)
+        if causal:
+            bias = bias + causal_bias(q.shape[1], k.shape[1])
 
     out = attention_core(q, k, v, bias, dropout_rate=dropout_rate, rng=rng,
                          train=train, dtype=dtype)

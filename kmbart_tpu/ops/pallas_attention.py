@@ -21,11 +21,13 @@ from jax.experimental import pallas as pl
 NEG_INF = -1e9
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, block_k):
+def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, block_k,
+                  block_q, causal):
     q = q_ref[0].astype(jnp.float32) * scale          # [bq, hd]
     Tk = k_ref.shape[1]
     bq, hd = q.shape
     nkb = Tk // block_k
+    qb = pl.program_id(1)
 
     def body(kb, carry):
         acc, m, l = carry
@@ -35,6 +37,12 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, block_k):
         scores = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) + b[None, :]
+        if causal:
+            q_pos = qb * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (bq, block_k), 0)
+            k_pos = kb * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (bq, block_k), 1)
+            scores = jnp.where(k_pos <= q_pos, scores, NEG_INF)
         m_new = jnp.maximum(m, jnp.max(scores, axis=1, keepdims=True))
         p = jnp.exp(scores - m_new)
         alpha = jnp.exp(m - m_new)
@@ -52,17 +60,21 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, block_k):
 
 
 def flash_attention(q, k, v, key_bias, *, block_q=128, block_k=128,
-                    interpret=False):
+                    causal=False, interpret=False):
     """q [BH, Tq, hd]; k/v [BH, Tk, hd]; key_bias [BH, Tk] additive fp32
-    (0 keep / NEG_INF mask). Returns [BH, Tq, hd] fp32."""
+    (0 keep / NEG_INF mask). ``causal``: query i attends keys <= i
+    (requires Tq == Tk). Returns [BH, Tq, hd] fp32."""
     BH, Tq, hd = q.shape
     Tk = k.shape[1]
     block_q = min(block_q, Tq)
     block_k = min(block_k, Tk)
     assert Tq % block_q == 0 and Tk % block_k == 0
+    if causal:
+        assert Tq == Tk
 
     kernel = functools.partial(_flash_kernel, scale=hd ** -0.5,
-                               block_k=block_k)
+                               block_k=block_k, block_q=block_q,
+                               causal=causal)
     key_bias = key_bias.reshape(BH, 1, Tk)  # TPU tiling: block == full dims
     return pl.pallas_call(
         kernel,
@@ -79,11 +91,11 @@ def flash_attention(q, k, v, key_bias, *, block_q=128, block_k=128,
     )(q, k, v, key_bias)
 
 
-def flash_self_attention(q, k, v, attention_mask=None, *, interpret=False,
-                         dtype=jnp.bfloat16):
-    """Drop-in for the non-causal core in ops/attention.py:
-    q/k/v [B, T, H, hd], attention_mask [B, Tk] (1 keep / 0 pad) ->
-    [B, Tq, H, hd] fp32."""
+def flash_self_attention(q, k, v, attention_mask=None, *, causal=False,
+                         interpret=False, dtype=jnp.bfloat16):
+    """Drop-in for the core in ops/attention.py:
+    q/k/v [B, T, H, hd], attention_mask [B, Tk] (1 keep / 0 pad),
+    optional causal masking -> [B, Tq, H, hd] fp32."""
     B, Tq, H, hd = q.shape
     Tk = k.shape[1]
 
@@ -98,18 +110,20 @@ def flash_self_attention(q, k, v, attention_mask=None, *, interpret=False,
     key_bias = jnp.repeat(key_bias, H, axis=0)
 
     out = flash_attention(to_bh(q), to_bh(k), to_bh(v), key_bias,
-                          interpret=interpret)
+                          causal=causal, interpret=interpret)
     return out.reshape(B, H, Tq, hd).transpose(0, 2, 1, 3)
 
 
 def flash_supported(q_len, k_len, head_dim, attention_dropout, train,
-                    bias_is_key_only):
+                    bias_is_key_only, causal=False):
     """Whether the fused kernel applies (TPU backend, no attn dropout,
-    tile-able shapes, key-padding-only masking)."""
+    tile-able shapes, key-padding-only (+optional causal) masking)."""
     if jax.default_backend() != "tpu":
         return False
     if train and attention_dropout > 0.0:
         return False
     if not bias_is_key_only:
+        return False
+    if causal and q_len != k_len:
         return False
     return q_len % 8 == 0 and k_len % 8 == 0 and head_dim % 8 == 0

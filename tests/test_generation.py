@@ -176,3 +176,19 @@ def test_greedy_parity_with_hf(setup):
     ours = generate(params, cfg, batch, max_length=max_length)
     n = min(ref.shape[1], ours.shape[1])
     np.testing.assert_array_equal(ours[:, :n], ref[:, :n])
+
+
+def test_exact_top_k_matches_lax(np_rng):
+    from kmbart_tpu.ops.topk import exact_top_k
+    import jax.numpy as jnp
+    x = np_rng.normal(size=(4, 50000)).astype(np.float32)
+    x[0, 123] = x[0, 456] = 9.0  # ties -> lowest index first
+    v1, i1 = jax.lax.top_k(jnp.asarray(x), 10)
+    v2, i2 = exact_top_k(jnp.asarray(x), 10)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    # small rows defer to lax.top_k
+    y = np_rng.normal(size=(4, 64)).astype(np.float32)
+    v3, i3 = exact_top_k(jnp.asarray(y), 10)
+    v4, i4 = jax.lax.top_k(jnp.asarray(y), 10)
+    np.testing.assert_array_equal(np.asarray(i3), np.asarray(i4))

@@ -54,3 +54,19 @@ def test_flash_cross_attention_shape(np_rng):
 def test_flash_gating():
     # CPU backend -> never selected (tests keep running the XLA path)
     assert not flash_supported(16, 16, 8, 0.0, False, True)
+
+
+def test_flash_causal_matches_xla(np_rng):
+    from kmbart_tpu.ops.attention import causal_bias
+    q, k, v = _qkv(np_rng, T=16)
+    B, T, H, hd = q.shape
+    mask = np.ones((B, T), np.int32)
+    mask[0, -3:] = 0
+    bias = causal_bias(T, T) + padding_bias(jnp.asarray(mask))
+    ref = attention_core(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                         bias, dtype=jnp.float32)
+    out = flash_self_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                               jnp.asarray(mask), causal=True,
+                               interpret=True, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-6)
