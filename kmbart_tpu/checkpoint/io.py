@@ -66,9 +66,11 @@ def _unflatten_into(template, flat, strict=True):
     return treedef.unflatten(leaves)
 
 
-def save_pretrained(path, config: MultiModalBartConfig, params):
+def save_pretrained(path, config, params):
+    """config may be None for non-BART auxiliary heads (no config.json)."""
     os.makedirs(path, exist_ok=True)
-    config.save_json(os.path.join(path, CONFIG_NAME))
+    if config is not None:
+        config.save_json(os.path.join(path, CONFIG_NAME))
     np.savez(os.path.join(path, WEIGHTS_NAME), **_flatten(params))
 
 

@@ -105,11 +105,14 @@ def beam_search_loop(params, cfg, fbias, enc_hidden, enc_mask, rng, *,
         return c if length_penalty == 1.0 else c ** length_penalty
 
     def body(state):
-        cur_len, tokens, beam_scores, cache, hyp, rng, done = state
+        cur_len, tokens, beam_scores, cache, hyp, rng, done, parent_prev = state
 
         prev = jax.lax.dynamic_slice_in_dim(tokens, cur_len - 1, 1, axis=1)
+        # parent reordering from the previous step is applied lazily inside
+        # the per-layer scan (avoids whole-cache copies; see bart.decode_step)
         hidden, cache = bart.decode_step(params, cfg, prev, cache,
-                                         cur_len - 1, enc_mask)
+                                         cur_len - 1, enc_mask,
+                                         reorder_idx=parent_prev)
         logits = bart.lm_logits(params, cfg, hidden, fbias)[:, 0, :]
 
         if not do_sample:
@@ -193,23 +196,24 @@ def beam_search_loop(params, cfg, fbias, enc_hidden, enc_mask, rng, *,
         done = done | newly_done
 
         # ---- reorder beams + append token ---------------------------------
+        # tokens are reordered eagerly (small); the KV cache is reordered
+        # lazily inside the next decode_step via parent_global
         parent_global = (b_idx[:, None] * K + nb_parents).reshape(BK)
         tokens = jnp.take(tokens, parent_global, axis=0)
         tokens = jax.lax.dynamic_update_slice(
             tokens, nb_tokens.reshape(BK, 1), (0, cur_len))
-        cache = dict(cache,
-                     self_k=jnp.take(cache["self_k"], parent_global, axis=1),
-                     self_v=jnp.take(cache["self_v"], parent_global, axis=1))
 
-        return (cur_len + 1, tokens, nb_scores, cache, hyp, rng, done)
+        return (cur_len + 1, tokens, nb_scores, cache, hyp, rng, done,
+                parent_global)
 
     state = (jnp.int32(1), tokens, beam_scores, cache, hyp,
-             rng if rng is not None else jax.random.PRNGKey(0), done)
+             rng if rng is not None else jax.random.PRNGKey(0), done,
+             jnp.arange(BK, dtype=jnp.int32))
 
     def cond_fn(state):
         return (state[0] < max_length) & ~jnp.all(state[6])
 
-    cur_len, tokens, beam_scores, cache, hyp, rng, done = \
+    cur_len, tokens, beam_scores, cache, hyp, rng, done, _ = \
         jax.lax.while_loop(cond_fn, body, state)
 
     # ---- finalise: unfinished batches contribute their live beams ----------

@@ -399,12 +399,15 @@ def init_decode_cache(params, cfg: MultiModalBartConfig, enc_hidden, max_len,
 
 
 def decode_step(params, cfg: MultiModalBartConfig, token_ids, cache, cache_index,
-                enc_attention_mask=None):
+                enc_attention_mask=None, reorder_idx=None):
     """One incremental decoder step.
 
     token_ids: [B, 1] the newest tokens; cache_index: scalar int32 position
-    to write (0-based). Returns (hidden [B, 1, D] fp32, updated cache).
-    """
+    to write (0-based). ``reorder_idx`` ([B] int32) permutes the self-cache
+    rows before use — beam-search parent reordering fused into the per-layer
+    scan (one gather+update per layer slice instead of whole-cache copies
+    with layout churn, a large profiled win on v5e).
+    Returns (hidden [B, 1, D] fp32, updated cache)."""
     dtype = jnp.dtype(cfg.dtype)
     act = ACTIVATIONS[cfg.activation_function]
     max_len = cache["self_k"].shape[2]
@@ -418,6 +421,9 @@ def decode_step(params, cfg: MultiModalBartConfig, token_ids, cache, cache_index
 
     def body(x, scanned):
         lp, sk, sv, ck, cv = scanned
+        if reorder_idx is not None:
+            sk = jnp.take(sk, reorder_idx, axis=0)
+            sv = jnp.take(sv, reorder_idx, axis=0)
         layer_cache = {"self": {"k": sk, "v": sv}, "cross": {"k": ck, "v": cv}}
         y, new_cache = _decoder_layer(
             x, lp, self_bias, cross_bias, None, cfg, None, False, dtype, act,

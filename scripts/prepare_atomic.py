@@ -109,9 +109,8 @@ def main(args):
                 epoch + 1, args.epochs, i + 1, total_step, float(loss),
                 str((total_step - (i + 1)) / (i + 1)
                     * (datetime.now() - start_time))))
-        from kmbart_tpu.config import tiny_config
         save_pretrained(os.path.join(checkpoint_path, f"model{epoch}"),
-                        tiny_config(), params)
+                        None, params)
         logger.info('Saved checkpoint at "{}"'.format(checkpoint_path))
 
 
