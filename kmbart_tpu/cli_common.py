@@ -53,11 +53,24 @@ def add_hardware_args(parser):
     parser.add_argument('--num_workers', type=int, default=0,
                         help='#workers for data loader')
     parser.add_argument('--seed', type=int, default=42, help='PRNG seed')
+    parser.add_argument('--debug_nans', action='store_true',
+                        help='enable jax_debug_nans (numerical-fault detector; '
+                             'slow, for debugging only)')
+    parser.add_argument('--multihost', action='store_true',
+                        help='multi-host (DCN) training: call '
+                             'jax.distributed.initialize() and shard data '
+                             'loading by process (replaces the reference\'s '
+                             'NCCL rendezvous, src/utils.py:9-13)')
 
 
 def setup_platform(args):
     if getattr(args, 'cpu', False):
         jax.config.update('jax_platforms', 'cpu')
+    if getattr(args, 'debug_nans', False):
+        jax.config.update('jax_debug_nans', True)
+    if getattr(args, 'multihost', False):
+        # coordinator/process env comes from the TPU runtime (GCE metadata)
+        jax.distributed.initialize()
 
 
 def apply_dropout_overrides(cfg, args):

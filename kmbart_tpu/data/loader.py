@@ -14,9 +14,24 @@ of the global batch.
 """
 
 from collections import deque
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 
 import numpy as np
+
+# process-worker state (set once per worker via the pool initializer so the
+# dataset/collator aren't re-pickled for every batch)
+_WORKER_DATASET = None
+_WORKER_COLLATE = None
+
+
+def _worker_init(dataset, collate_fn):
+    global _WORKER_DATASET, _WORKER_COLLATE
+    _WORKER_DATASET = dataset
+    _WORKER_COLLATE = collate_fn
+
+
+def _worker_load(idx_batch):
+    return _WORKER_COLLATE([_WORKER_DATASET[i] for i in idx_batch])
 
 
 class ShardedSampler:
@@ -57,7 +72,7 @@ class DataLoader:
 
     def __init__(self, dataset, batch_size, collate_fn, sampler=None,
                  shuffle=False, num_workers=0, drop_last=False, prefetch=2,
-                 seed=0, batch_divisor=1):
+                 seed=0, batch_divisor=1, use_processes=False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.collate_fn = collate_fn
@@ -68,6 +83,7 @@ class DataLoader:
         self.prefetch = max(prefetch, 1)
         self.seed = seed
         self.batch_divisor = max(1, batch_divisor)
+        self.use_processes = use_processes
         self._epoch = 0
 
     def set_epoch(self, epoch):
@@ -130,20 +146,42 @@ class DataLoader:
                     yield batch
             return
 
-        # bounded look-ahead: at most num_workers + prefetch batches in flight
-        pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        # bounded look-ahead: at most num_workers + prefetch batches in flight.
+        # Threads suffice for pickle/numpy-bound datasets; BPE tokenisation is
+        # GIL-bound Python, so ``use_processes=True`` runs collation in worker
+        # processes (dataset/collator shipped once via the pool initializer).
+        if self.use_processes:
+            pool = ProcessPoolExecutor(
+                max_workers=self.num_workers, initializer=_worker_init,
+                initargs=(self.dataset, self.collate_fn))
+            submit = lambda b: pool.submit(_worker_load, b)
+        else:
+            pool = ThreadPoolExecutor(max_workers=self.num_workers)
+            submit = lambda b: pool.submit(self._load, b)
         pending = deque()
         cap = self.num_workers + self.prefetch
         try:
             for b in self._index_batches():
-                pending.append(pool.submit(self._load, b))
+                if self.use_processes:
+                    fut = submit(b)
+                    # divisor trimming happens host-side after the worker
+                    pending.append((fut, True))
+                else:
+                    pending.append((submit(b), False))
                 if len(pending) >= cap:
-                    batch = pending.popleft().result()
+                    batch = self._resolve(pending.popleft())
                     if batch is not None:
                         yield batch
             while pending:
-                batch = pending.popleft().result()
+                batch = self._resolve(pending.popleft())
                 if batch is not None:
                     yield batch
         finally:
             pool.shutdown(wait=False, cancel_futures=True)
+
+    def _resolve(self, item):
+        fut, needs_trim = item
+        batch = fut.result()
+        if needs_trim:
+            batch = self._trim_to_divisor(batch)
+        return batch

@@ -63,9 +63,25 @@ def _wordnet_synsets():
 
 
 class Meteor:
-    def __init__(self, paraphrase_file=None):
+    def __init__(self, paraphrase_file=None, synonym_file=None):
+        """``synonym_file``: optional flat synonym table ("w ||| s" or
+        "w s1 s2 ..." per line) used when NLTK WordNet corpora are absent
+        (this image has none); ``paraphrase_file``: METEOR paraphrase table
+        ("phrase ||| phrase" per line)."""
         self._stem = _snowball()
         self._wordnet = _wordnet_synsets()
+        self._synonym_table = None
+        if synonym_file:
+            table = defaultdict(set)
+            with open(synonym_file, encoding="utf-8") as f:
+                for line in f:
+                    parts = (line.rstrip("\n").split(" ||| ")
+                             if " ||| " in line else line.split())
+                    for a in parts:
+                        for b in parts:
+                            if a != b:
+                                table[a].add(b)
+            self._synonym_table = table
         self._paraphrases = None
         if paraphrase_file:
             table = defaultdict(set)
@@ -80,6 +96,8 @@ class Meteor:
     # -- matchers ----------------------------------------------------------
 
     def _synonyms(self, word):
+        if self._synonym_table is not None:
+            return self._synonym_table.get(word, set())
         if self._wordnet is None:
             return set()
         syns = set()
@@ -107,7 +125,8 @@ class Meteor:
         matches = []
         h_used = [False] * len(hyp)
         r_used = [False] * len(ref)
-        active = [0, 1, 2 if self._wordnet is not None else -1,
+        has_syn = self._wordnet is not None or self._synonym_table is not None
+        active = [0, 1, 2 if has_syn else -1,
                   3 if self._paraphrases is not None else -1]
         for stage in [s for s in active if s >= 0]:
             for i, hw in enumerate(hyp):

@@ -1,0 +1,148 @@
+"""Dynamic-batching generation engine for serving.
+
+No reference counterpart (the reference is research code; SURVEY.md's
+mandate includes production serving). Requests are queued, coalesced into
+fixed-shape batches (padded to the compiled bucket so the jitted decode
+program never recompiles), executed on a background thread, and resolved
+through futures.
+
+TPU design: one compiled beam/greedy program per (options) signature;
+batches are padded to ``max_batch_size`` with dummy rows — throughput-bound
+serving on a single program, no shape polymorphism.
+"""
+
+import queue
+import threading
+from concurrent.futures import Future
+
+import numpy as np
+
+from kmbart_tpu.generation.api import generate
+
+
+class _Request:
+    __slots__ = ("batch", "future", "n")
+
+    def __init__(self, batch, n):
+        self.batch = batch
+        self.future = Future()
+        self.n = n
+
+
+class GenerationEngine:
+    def __init__(self, params, cfg, tokenizer=None, *, max_batch_size=32,
+                 encoder_seq_len=None, max_wait_ms=5.0, **gen_options):
+        """gen_options: forwarded to generate() (num_beams, max_length, ...).
+
+        ``encoder_seq_len``: static bucket; requests are padded to it
+        (defaults to the first request's width rounded up to a multiple
+        of 8)."""
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.max_batch_size = max_batch_size
+        self.encoder_seq_len = encoder_seq_len
+        self.max_wait_ms = max_wait_ms
+        self.gen_options = gen_options
+        self._queue = queue.Queue()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    # -- public -------------------------------------------------------------
+
+    def submit(self, input_ids, attention_mask=None, image_features=None):
+        """Queue one request (single example or small batch). Returns a
+        Future resolving to the generated token array [n * num_return, L]."""
+        input_ids = np.atleast_2d(np.asarray(input_ids, np.int32))
+        n = input_ids.shape[0]
+        if attention_mask is None:
+            attention_mask = (input_ids != self.cfg.pad_token_id).astype(np.int32)
+        batch = {"input_ids": input_ids,
+                 "attention_mask": np.asarray(attention_mask, np.int32),
+                 "image_features": image_features}
+        req = _Request(batch, n)
+        self._queue.put(req)
+        return req.future
+
+    def generate_text(self, text, **kw):
+        """Convenience: encode -> submit -> decode (requires tokenizer)."""
+        enc = self.tokenizer.encode(text)
+        fut = self.submit(np.asarray([enc], np.int32), **kw)
+        out = fut.result()
+        return [self.tokenizer.decode(row, skip_special_tokens=True)
+                for row in out]
+
+    def shutdown(self):
+        self._stop.set()
+        self._thread.join(timeout=5)
+
+    # -- internals -------------------------------------------------------------
+
+    def _pad_width(self, width):
+        if self.encoder_seq_len is not None:
+            return self.encoder_seq_len
+        return ((width + 7) // 8) * 8
+
+    def _loop(self):
+        while not self._stop.is_set():
+            try:
+                first = self._queue.get(timeout=0.05)
+            except queue.Empty:
+                continue
+            reqs = [first]
+            total = first.n
+            # coalesce whatever arrives within the batching window
+            deadline = self.max_wait_ms / 1000.0
+            import time
+            t0 = time.perf_counter()
+            while total < self.max_batch_size and \
+                    (time.perf_counter() - t0) < deadline:
+                try:
+                    r = self._queue.get_nowait()
+                except queue.Empty:
+                    time.sleep(0.0005)
+                    continue
+                reqs.append(r)
+                total += r.n
+            try:
+                self._run_batch(reqs)
+            except Exception as e:  # surface errors through the futures
+                for r in reqs:
+                    if not r.future.done():
+                        r.future.set_exception(e)
+
+    def _run_batch(self, reqs):
+        width = self._pad_width(max(r.batch["input_ids"].shape[1]
+                                    for r in reqs))
+        n_total = sum(r.n for r in reqs)
+        B = self.max_batch_size
+        ids = np.full((B, width), self.cfg.pad_token_id, np.int32)
+        mask = np.zeros((B, width), np.int32)
+        feats = None
+        if any(r.batch.get("image_features") is not None for r in reqs):
+            feats = np.zeros((B, self.cfg.max_img_num,
+                              self.cfg.image_feature_size), np.float32)
+        row = 0
+        for r in reqs:
+            b = r.batch
+            w = b["input_ids"].shape[1]
+            ids[row:row + r.n, :w] = b["input_ids"][:, :width]
+            mask[row:row + r.n, :w] = b["attention_mask"][:, :width]
+            if feats is not None and b.get("image_features") is not None:
+                f = np.asarray(b["image_features"], np.float32)
+                feats[row:row + r.n, :f.shape[1]] = f[:, :self.cfg.max_img_num]
+            row += r.n
+        # dummy rows keep the compiled shape; give them a real token so the
+        # decode loop terminates naturally
+        ids[row:, 0] = self.cfg.eos_token_id
+        mask[row:, 0] = 1
+
+        out = generate(self.params, self.cfg,
+                       {"input_ids": ids, "attention_mask": mask,
+                        "image_features": feats}, **self.gen_options)
+        n_ret = out.shape[0] // B
+        row = 0
+        for r in reqs:
+            r.future.set_result(out[row * n_ret:(row + r.n) * n_ret])
+            row += r.n

@@ -135,7 +135,10 @@ def main(args):
     train_dataset = build_datasets(args)
     train_loader = DataLoader(
         train_dataset, batch_size=args.batch_size, collate_fn=collate_fn,
-        sampler=ShardedSampler(len(train_dataset), shuffle=True, seed=args.seed),
+        sampler=ShardedSampler(len(train_dataset),
+                               num_replicas=jax.process_count(),
+                               rank=jax.process_index(),
+                               shuffle=True, seed=args.seed),
         num_workers=args.num_workers, drop_last=True, batch_divisor=n_data)
 
     def loss_fn(p, b, rng):

@@ -55,3 +55,19 @@ def test_load_shape_mismatch_raises(tiny_cfg, tmp_path):
     except ValueError:
         raised = True
     assert raised
+
+
+def test_torch_export_roundtrip(tiny_cfg, tmp_path):
+    """Export to pytorch_model.bin, reload through the pure-python importer."""
+    pytest = __import__("pytest")
+    pytest.importorskip("torch")
+    from kmbart_tpu.checkpoint.torch_export import save_torch_pretrained
+
+    cfg = tiny_cfg
+    params = init_conditional_params(jax.random.PRNGKey(6), cfg)
+    save_torch_pretrained(str(tmp_path / "export"), cfg, params)
+    cfg2, params2, report = load_pretrained(
+        str(tmp_path / "export"), init_conditional_params)
+    assert cfg2.d_model == cfg.d_model
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)

@@ -231,3 +231,19 @@ def test_loader_prefetch(fixture_dataset, tokenizer):
     batches = list(loader)
     assert sum(b["input_ids"].shape[0] for b in batches) == len(ds)
     assert len(batches) == len(loader)
+
+
+def test_loader_process_workers(fixture_dataset, tokenizer):
+    import os
+    ds = VCGDataset(os.path.join(fixture_dataset, "vcg"), split="train")
+    col = Collator(tokenizer, has_label=True, max_img_num=4,
+                   image_feature_size=20)
+    thread_loader = DataLoader(ds, batch_size=5, collate_fn=col)
+    proc_loader = DataLoader(ds, batch_size=5, collate_fn=col, num_workers=2,
+                             use_processes=True, batch_divisor=2)
+    ref = list(thread_loader)
+    got = list(proc_loader)
+    # divisor=2 trims odd remainders
+    assert all(b["input_ids"].shape[0] % 2 == 0 for b in got)
+    np.testing.assert_array_equal(got[0]["input_ids"],
+                                  ref[0]["input_ids"][:got[0]["input_ids"].shape[0]])

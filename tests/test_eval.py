@@ -147,3 +147,15 @@ def test_diversity(tmp_path):
                                    train_file=str(train_file), verbose=False)
     assert out["Unique"] == 1.0
     assert out["Novel"] == pytest.approx(0.5)
+
+
+def test_meteor_synonym_and_paraphrase_stages(tmp_path):
+    syn = tmp_path / "syn.txt"
+    syn.write_text("sofa ||| couch\n")
+    para = tmp_path / "para.txt"
+    para.write_text("sits down ||| takes a seat\n")
+    m = Meteor(synonym_file=str(syn), paraphrase_file=str(para))
+    base = Meteor()
+    s_syn, _ = m.compute_score({0: ["the sofa"]}, {0: ["the couch"]})
+    s_base, _ = base.compute_score({0: ["the sofa"]}, {0: ["the couch"]})
+    assert s_syn > s_base  # synonym stage matched couch<->sofa

@@ -225,3 +225,25 @@ def test_tensor_parallel_matches_single(tiny_cfg, np_rng):
                     jax.tree.leaves(state_b.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_generation_8dev(tiny_cfg, np_rng):
+    """generate() with data-sharded inputs over the 8-device mesh produces
+    the same tokens as single-device (multi-chip inference path)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from kmbart_tpu.generation.api import generate
+
+    cfg = tiny_cfg.replace(dtype="float32")
+    params = init_conditional_params(jax.random.PRNGKey(2), cfg)
+    B, S = 16, 10
+    ids = np_rng.integers(4, 80, (B, S)).astype(np.int32)
+    batch = {"input_ids": ids, "attention_mask": np.ones((B, S), np.int32)}
+    ref = generate(params, cfg, batch, max_length=8, num_beams=2,
+                   early_stopping=True)
+
+    mesh = make_mesh(model_parallel=1)
+    sh = NamedSharding(mesh, P("data"))
+    sharded_batch = {k: jax.device_put(v, sh) for k, v in batch.items()}
+    out = generate(params, cfg, sharded_batch, max_length=8, num_beams=2,
+                   early_stopping=True)
+    np.testing.assert_array_equal(ref, out)

@@ -88,7 +88,10 @@ def main(args):
                                use_image=args.use_image, use_event=args.use_event)
     train_loader = DataLoader(
         train_dataset, batch_size=args.batch_size, collate_fn=collate_fn,
-        sampler=ShardedSampler(len(train_dataset), shuffle=True, seed=args.seed),
+        sampler=ShardedSampler(len(train_dataset),
+                               num_replicas=jax.process_count(),
+                               rank=jax.process_index(),
+                               shuffle=True, seed=args.seed),
         num_workers=args.num_workers, drop_last=True, batch_divisor=n_data)
 
     val_dataset = VCGDataset(args.data_dir, split='val',
