@@ -91,11 +91,52 @@ def flash_attention(q, k, v, key_bias, *, block_q=128, block_k=128,
     )(q, k, v, key_bias)
 
 
+def _reference_attention_bh(q, k, v, key_bias, causal):
+    """Pure-XLA math identical to the kernel (fp32), used for the backward
+    pass: differentiating through the Pallas fori-loop is unsupported, and
+    this is exactly the standard attention VJP XLA would build anyway."""
+    hd = q.shape[-1]
+    q32 = q.astype(jnp.float32) * (hd ** -0.5)
+    scores = jnp.einsum("bqd,bkd->bqk", q32, k.astype(jnp.float32)) \
+        + key_bias[:, None, :].astype(jnp.float32)
+    if causal:
+        Tq, Tk = scores.shape[1], scores.shape[2]
+        q_pos = jnp.arange(Tq)[:, None]
+        k_pos = jnp.arange(Tk)[None, :]
+        scores = jnp.where((k_pos <= q_pos)[None], scores, NEG_INF)
+    p = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bqk,bkd->bqd", p, v.astype(jnp.float32))
+
+
+@functools.lru_cache(maxsize=None)
+def _flash_with_vjp(causal, interpret):
+    @jax.custom_vjp
+    def f(q, k, v, key_bias):
+        return flash_attention(q, k, v, key_bias, causal=causal,
+                               interpret=interpret)
+
+    def fwd(q, k, v, key_bias):
+        return flash_attention(q, k, v, key_bias, causal=causal,
+                               interpret=interpret), (q, k, v, key_bias)
+
+    def bwd(res, g):
+        q, k, v, key_bias = res
+        _, vjp = jax.vjp(
+            lambda q_, k_, v_: _reference_attention_bh(q_, k_, v_, key_bias,
+                                                       causal), q, k, v)
+        dq, dk, dv = vjp(g.astype(jnp.float32))
+        return dq, dk, dv, jnp.zeros_like(key_bias)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
 def flash_self_attention(q, k, v, attention_mask=None, *, causal=False,
                          interpret=False, dtype=jnp.bfloat16):
     """Drop-in for the core in ops/attention.py:
     q/k/v [B, T, H, hd], attention_mask [B, Tk] (1 keep / 0 pad),
-    optional causal masking -> [B, Tq, H, hd] fp32."""
+    optional causal masking -> [B, Tq, H, hd] fp32. Differentiable (custom
+    VJP: Pallas forward, XLA-math backward)."""
     B, Tq, H, hd = q.shape
     Tk = k.shape[1]
 
@@ -109,8 +150,8 @@ def flash_self_attention(q, k, v, attention_mask=None, *, causal=False,
                              ).astype(jnp.float32)
     key_bias = jnp.repeat(key_bias, H, axis=0)
 
-    out = flash_attention(to_bh(q), to_bh(k), to_bh(v), key_bias,
-                          causal=causal, interpret=interpret)
+    fn = _flash_with_vjp(bool(causal), bool(interpret))
+    out = fn(to_bh(q), to_bh(k), to_bh(v), key_bias)
     return out.reshape(B, H, Tq, hd).transpose(0, 2, 1, 3)
 
 

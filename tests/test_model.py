@@ -133,3 +133,41 @@ def test_lm_loss_ignores_minus_100(tiny_cfg, np_rng):
     labels3 = np.full_like(labels, -100)
     loss_none, _ = conditional_loss(params, cfg, dict(batch, labels=labels3))
     assert np.isfinite(float(loss_none))
+
+
+def test_mrm_kl_exact_value(tiny_cfg):
+    """KL(batchmean) numerics: one-hot target vs uniform prediction = log C."""
+    import math
+    from kmbart_tpu.models.heads import masked_kl_div_batchmean
+    C = 8
+    logp = jnp.log(jnp.full((1, 3, C), 1.0 / C))
+    soft = np.zeros((1, 3, C), np.float32)
+    soft[0, 1, 0] = 1.0  # one masked row, one-hot
+    mask = np.zeros((1, 3), bool)
+    mask[0, 1] = True
+    loss, n = masked_kl_div_batchmean(logp, jnp.asarray(soft), jnp.asarray(mask))
+    assert int(n) == 1
+    assert float(loss) == pytest.approx(math.log(C), rel=1e-6)
+    # two masked rows -> mean over rows
+    soft[0, 2, 1] = 1.0
+    mask[0, 2] = True
+    loss2, n2 = masked_kl_div_batchmean(logp, jnp.asarray(soft), jnp.asarray(mask))
+    assert int(n2) == 2
+    assert float(loss2) == pytest.approx(math.log(C), rel=1e-6)
+
+
+def test_mrm_kl_matches_torch(tiny_cfg):
+    """Exact parity with F.kl_div(..., reduction='batchmean') on random data."""
+    torch = pytest.importorskip("torch")
+    from kmbart_tpu.models.heads import masked_kl_div_batchmean
+    rng = np.random.default_rng(0)
+    C, R = 11, 5
+    logits = rng.normal(size=(R, C)).astype(np.float32)
+    targets = rng.dirichlet(np.ones(C), R).astype(np.float32)
+    ref = torch.nn.functional.kl_div(
+        torch.log_softmax(torch.tensor(logits), dim=1),
+        torch.tensor(targets), reduction="batchmean").item()
+    logp = jax.nn.log_softmax(jnp.asarray(logits)[None], axis=-1)
+    loss, _ = masked_kl_div_batchmean(
+        logp, jnp.asarray(targets)[None], jnp.ones((1, R), bool))
+    assert float(loss) == pytest.approx(ref, rel=1e-5)

@@ -70,3 +70,30 @@ def test_flash_causal_matches_xla(np_rng):
                                interpret=True, dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-6)
+
+
+def test_flash_gradients_match_xla(np_rng):
+    """Custom VJP (Pallas fwd, XLA bwd) must match grads of the XLA core."""
+    q, k, v = _qkv(np_rng, B=1, T=16, H=2, hd=8)
+    mask = np.ones((1, 16), np.int32)
+    mask[0, -4:] = 0
+
+    def loss_flash(q, k, v):
+        out = flash_self_attention(jnp.asarray(q), jnp.asarray(k),
+                                   jnp.asarray(v), jnp.asarray(mask),
+                                   causal=True, interpret=True,
+                                   dtype=jnp.float32)
+        return jnp.sum(out ** 2)
+
+    def loss_xla(q, k, v):
+        from kmbart_tpu.ops.attention import causal_bias
+        bias = causal_bias(16, 16) + padding_bias(jnp.asarray(mask))
+        out = attention_core(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                             bias, dtype=jnp.float32)
+        return jnp.sum(out ** 2)
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
