@@ -12,7 +12,6 @@ token buffer and a static KV cache — a single XLA computation, no host
 round-trips per token.
 """
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

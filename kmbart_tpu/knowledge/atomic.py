@@ -11,7 +11,6 @@ TPU design: the sampler is a single jitted while-loop over a preallocated
 KV cache; all five categories decode in one batched call.
 """
 
-from functools import lru_cache
 
 import jax
 import jax.numpy as jnp

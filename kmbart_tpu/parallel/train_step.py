@@ -12,7 +12,6 @@ all-reduce over ICI automatically — the DDP allreduce hook
 (pretrain.py:98) becomes a compiler decision.
 """
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

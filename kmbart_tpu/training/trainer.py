@@ -13,7 +13,6 @@ cadence so logging never serialises the pipeline.
 
 from datetime import datetime
 
-import jax
 
 from kmbart_tpu.parallel.mesh import device_arrays
 

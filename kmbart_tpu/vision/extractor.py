@@ -14,7 +14,6 @@ boxes are padded to ``max_boxes`` and masked. CUDA NMS becomes the
 fixed-shape lax NMS in vision/nms.py.
 """
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp
