@@ -24,7 +24,10 @@ from kmbart_tpu.utils.task import TaskType
 
 class COCODataset:
     def __init__(self, data_dir, image_dir=None, split="train", eval_mode=False,
-                 use_image=True):
+                 use_image=True, use_feature_cache="auto"):
+        """``use_feature_cache``: read ROI features from the packed
+        memory-mapped cache (data/feature_cache.py) instead of per-image
+        pickles — "auto" uses it when ``{split}.features.npy`` exists."""
         self._use_image = use_image
         self._data_dir = data_dir
         self._image_dir = data_dir if image_dir is None else image_dir
@@ -32,11 +35,23 @@ class COCODataset:
         file_name = split + ("_eval.json" if eval_mode else ".json")
         with open(os.path.join(data_dir, file_name)) as f:
             self._dataset = json.load(f)
+        self._cache = None
+        if use_image and use_feature_cache in (True, "auto"):
+            packed = os.path.join(self._image_dir, f"{split}.features.npy")
+            if os.path.exists(packed) or use_feature_cache is True:
+                from kmbart_tpu.data.feature_cache import FeatureCache
+                self._cache = FeatureCache(self._image_dir, split)
 
     def __getitem__(self, index):
         raw = self._dataset[index]
         output = {**raw}
         if self._use_image:
+            if self._cache is not None and str(raw["img_id"]) in self._cache:
+                feats, scores = self._cache.get(raw["img_id"])
+                output["image_features"] = feats
+                if scores is not None:
+                    output["mrm_labels"] = scores
+                return output
             path = os.path.join(self._image_dir, self._split,
                                 str(raw["img_id"]) + ".pkl")
             with open(path, "rb") as f:
@@ -54,9 +69,11 @@ class COCODataset:
 
 class VCGDataset(COCODataset):
     def __init__(self, data_dir, image_dir=None, split="train", eval_mode=False,
-                 use_image=True, use_event=True, pretrain=False):
+                 use_image=True, use_event=True, pretrain=False,
+                 use_feature_cache="auto"):
         super().__init__(data_dir=data_dir, image_dir=image_dir, split=split,
-                         eval_mode=eval_mode, use_image=use_image)
+                         eval_mode=eval_mode, use_image=use_image,
+                         use_feature_cache=use_feature_cache)
         self._use_event = use_event
         self._pretrain = pretrain
 
@@ -72,9 +89,11 @@ class VCGDataset(COCODataset):
 
 
 class SBUDataset(COCODataset):
-    def __init__(self, data_dir, image_dir=None, split="train", use_image=True):
+    def __init__(self, data_dir, image_dir=None, split="train", use_image=True,
+                 use_feature_cache="auto"):
         super().__init__(data_dir=data_dir, image_dir=image_dir, split=split,
-                         eval_mode=False, use_image=use_image)
+                         eval_mode=False, use_image=use_image,
+                         use_feature_cache=use_feature_cache)
 
     def __getitem__(self, item):
         output = super().__getitem__(item)

@@ -123,3 +123,24 @@ def test_continue_training(fixture_dataset, toy_assets, tmp_path):
     from kmbart_tpu.checkpoint.io import load_training_data
     td = load_training_data(os.path.join(ckpt_dir, run_dir2, "model1"))
     assert td["epoch"] == 1
+
+
+def test_vcg_train_no_image_no_event(fixture_dataset, toy_assets, tmp_path):
+    """--no_image/--no_event paths (reference pretrain.py:355-358)."""
+    import vcg_train
+
+    old = sys.argv
+    sys.argv = ["prog", "--data_dir", os.path.join(fixture_dataset, "vcg"),
+                "--checkpoint_dir", str(tmp_path / "ck"),
+                "--model_config", os.path.join(fixture_dataset, "config.json"),
+                "--tokenizer_dir", toy_assets,
+                "--epochs", "1", "--batch_size", "8", "--cpu",
+                "--no_image", "--no_event"]
+    try:
+        args = vcg_train.parse_args()
+    finally:
+        sys.argv = old
+    vcg_train.main(args)
+    run_dir = os.listdir(str(tmp_path / "ck"))[0]
+    assert os.path.exists(os.path.join(str(tmp_path / "ck"), run_dir,
+                                       "model0", "params.npz"))

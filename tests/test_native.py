@@ -69,3 +69,22 @@ def test_feature_cache_roundtrip(fixture_dataset, tmp_path):
     batch, counts = cache.gather_batch(list(index)[:3], max_rows=6)
     assert batch.shape == (3, 6, feats.shape[1])
     np.testing.assert_array_equal(batch[0, :counts[0]], cache.get(list(index)[0])[0][:6])
+
+
+def test_dataset_uses_packed_cache(fixture_dataset):
+    """COCODataset/VCGDataset transparently read the packed cache when the
+    split has been packed (identical outputs to the pickle path)."""
+    import os
+    from kmbart_tpu.data.datasets import VCGDataset
+    from kmbart_tpu.data.feature_cache import pack_split
+
+    vcg = os.path.join(fixture_dataset, "vcg")
+    plain = VCGDataset(vcg, split="train", use_feature_cache=False)
+    ref = plain[0]
+    pack_split(vcg, "train")
+    cached = VCGDataset(vcg, split="train")  # auto-detects the pack
+    assert cached._cache is not None
+    got = cached[0]
+    np.testing.assert_allclose(got["image_features"], ref["image_features"],
+                               rtol=1e-6)
+    np.testing.assert_allclose(got["mrm_labels"], ref["mrm_labels"], rtol=1e-6)
