@@ -44,11 +44,34 @@ def _cook_test(test, reflens, maxcounts, n, eff="closest"):
     return testlen, reflen, guess, correct
 
 
+def _native_counts(hypo, refs, n):
+    """Clipped n-gram counting through the C++ kernel when built
+    (native/kmbart_native.cpp bleu_counts); token strings are interned to
+    int32 ids first. Returns (testlen, reflens, guess, correct) or None."""
+    from kmbart_tpu import _native
+    if not _native.available():
+        return None
+    import numpy as np
+    interned = {}
+
+    def ids(sent):
+        out = []
+        for w in sent.split():
+            out.append(interned.setdefault(w, len(interned)))
+        return np.asarray(out, np.int32)
+
+    hyp = ids(hypo)
+    ref_tok = [ids(r) for r in refs]
+    correct, guess = _native.bleu_counts(hyp, ref_tok, max_n=n)
+    return len(hyp), [len(r) for r in ref_tok], guess.tolist(), correct.tolist()
+
+
 class Bleu:
     """compute_score(gts, res) -> (score_list[n], per_instance[n][i])."""
 
-    def __init__(self, n=4):
+    def __init__(self, n=4, use_native=True):
         self.n = n
+        self.use_native = use_native
 
     def compute_score(self, gts, res):
         n = self.n
@@ -64,9 +87,14 @@ class Bleu:
             hypo = res[key]
             refs = gts[key]
             assert len(hypo) == 1 and len(refs) >= 1
-            reflens, maxcounts = _cook_refs(refs, n)
-            testlen, reflen, guess, correct = _cook_test(
-                hypo[0], reflens, maxcounts, n)
+            native = _native_counts(hypo[0], refs, n) if self.use_native else None
+            if native is not None:
+                testlen, reflens, guess, correct = native
+                reflen = min((abs(l - testlen), l) for l in reflens)[1]
+            else:
+                reflens, maxcounts = _cook_refs(refs, n)
+                testlen, reflen, guess, correct = _cook_test(
+                    hypo[0], reflens, maxcounts, n)
 
             total_testlen += testlen
             total_reflen += reflen

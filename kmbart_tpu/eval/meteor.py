@@ -121,14 +121,32 @@ class Meteor:
     def _align(self, hyp, ref):
         """Greedy staged one-to-one alignment.
 
-        Returns list of (hyp_idx, ref_idx, stage)."""
-        matches = []
-        h_used = [False] * len(hyp)
-        r_used = [False] * len(ref)
+        Returns list of (hyp_idx, ref_idx, stage). Uses the C++ aligner core
+        (native/kmbart_native.cpp meteor_align) when built; identical
+        semantics to the Python loop below."""
         has_syn = self._wordnet is not None or self._synonym_table is not None
         active = [0, 1, 2 if has_syn else -1,
                   3 if self._paraphrases is not None else -1]
-        for stage in [s for s in active if s >= 0]:
+        stages = [s for s in active if s >= 0]
+
+        from kmbart_tpu import _native
+        if _native.available() and hyp and ref:
+            import numpy as np
+            match = np.zeros((len(stages), len(hyp), len(ref)), np.uint8)
+            for si, stage in enumerate(stages):
+                for i, hw in enumerate(hyp):
+                    syn_h = self._synonyms(hw) if stage == 2 else None
+                    for j, rw in enumerate(ref):
+                        if self._stage_match(stage, hw, rw, syn_h):
+                            match[si, i, j] = 1
+            h_stage, align, _ = _native.meteor_align(match)
+            return [(i, int(align[i]), stages[int(h_stage[i])])
+                    for i in range(len(hyp)) if align[i] >= 0]
+
+        matches = []
+        h_used = [False] * len(hyp)
+        r_used = [False] * len(ref)
+        for stage in stages:
             for i, hw in enumerate(hyp):
                 if h_used[i]:
                     continue

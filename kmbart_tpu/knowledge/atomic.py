@@ -53,11 +53,15 @@ class AtomicGenerator:
     # ------------------------------------------------------------------
 
     def _build_sampler(self):
+        if self.sampling.startswith("beam"):
+            return self._build_beam_sampler()
         max_prompt = self.max_event + 1
         max_len = max_prompt + self.max_effect
         params, n_heads = self.params, self.n_heads
         end_id = self.end_id
         topk = 10 if self.sampling.startswith("topk") else 0
+        if self.sampling.startswith("topk") and "-" in self.sampling:
+            topk = int(self.sampling.split("-")[1])
         do_sample = self.sampling.startswith("topk")
 
         @jax.jit
@@ -104,6 +108,67 @@ class AtomicGenerator:
             state = (jnp.int32(max_prompt), tokens, cache, unfinished, rng)
             _, tokens, _, _, _ = jax.lax.while_loop(cond, body, state)
             return tokens
+
+        return fn
+
+    def _build_beam_sampler(self):
+        """'beam-K' sampling (scripts/atomic_generator.py via comet's
+        BeamSampler): K beams per category, sum-logprob scoring, beams
+        freeze on <END>; the best beam per category is returned."""
+        K = int(self.sampling.split("-")[1]) if "-" in self.sampling else 5
+        max_prompt = self.max_event + 1
+        max_len = max_prompt + self.max_effect
+        params, n_heads = self.params, self.n_heads
+        end_id = self.end_id
+        n_vocab = params["n_vocab"]
+
+        @jax.jit
+        def fn(prompt, prompt_len, rng):
+            B = prompt.shape[0]
+            BK = B * K
+            tokens = jnp.zeros((BK, max_len), jnp.int32)
+            tokens = jax.lax.dynamic_update_slice(
+                tokens, jnp.repeat(prompt, K, axis=0), (0, 0))
+            cache = gpt.init_gpt_cache(params, BK, max_len, n_heads)
+
+            def prime(i, cache):
+                tok = jax.lax.dynamic_slice_in_dim(tokens, i, 1, axis=1)
+                _, cache = gpt.gpt_step(params, tok, cache, i, n_heads)
+                return cache
+
+            cache = jax.lax.fori_loop(0, max_prompt, prime, cache)
+            beam_scores = jnp.full((B, K), -1e9).at[:, 0].set(0.0)
+            finished = jnp.zeros((BK,), bool)
+            b_idx = jnp.arange(B)
+
+            def body(i, state):
+                tokens, cache, beam_scores, finished = state
+                prev = jax.lax.dynamic_slice_in_dim(tokens, i - 1, 1, axis=1)
+                hidden, cache = gpt.gpt_step(params, prev, cache, i - 1,
+                                             n_heads)
+                logp = jax.nn.log_softmax(
+                    gpt.gpt_logits(params, hidden)[:, 0, :], axis=-1)
+                # frozen beams only continue with <END> at zero cost
+                end_row = jnp.full((n_vocab,), -jnp.inf).at[end_id].set(0.0)
+                logp = jnp.where(finished[:, None], end_row[None, :], logp)
+                flat = (logp + beam_scores.reshape(BK, 1)).reshape(B, K * n_vocab)
+                vals, idx = jax.lax.top_k(flat, K)
+                parent = (b_idx[:, None] * K + idx // n_vocab).reshape(BK)
+                tok = (idx % n_vocab).reshape(BK).astype(jnp.int32)
+                tokens = jnp.take(tokens, parent, axis=0)
+                tokens = jax.lax.dynamic_update_slice(
+                    tokens, tok[:, None], (0, i))
+                cache = {"k": jnp.take(cache["k"], parent, axis=1),
+                         "v": jnp.take(cache["v"], parent, axis=1)}
+                finished = jnp.take(finished, parent) | (tok == end_id)
+                return (tokens, cache, vals, finished)
+
+            tokens, cache, beam_scores, finished = jax.lax.fori_loop(
+                max_prompt, max_len, body,
+                (tokens, cache, beam_scores, finished))
+            # best beam per category (pool is K-sorted each step: beam 0 best)
+            best = jnp.argmax(beam_scores, axis=1)
+            return tokens.reshape(B, K, max_len)[b_idx, best]
 
         return fn
 

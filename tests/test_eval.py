@@ -159,3 +159,17 @@ def test_meteor_synonym_and_paraphrase_stages(tmp_path):
     s_syn, _ = m.compute_score({0: ["the sofa"]}, {0: ["the couch"]})
     s_base, _ = base.compute_score({0: ["the sofa"]}, {0: ["the couch"]})
     assert s_syn > s_base  # synonym stage matched couch<->sofa
+
+
+def test_bleu_native_matches_python():
+    from kmbart_tpu import _native
+    if not _native.available():
+        pytest.skip("native library unavailable")
+    gts = {0: ["the cat is on the mat", "a cat sits on a mat"],
+           1: ["hello world again"]}
+    res = {0: ["the cat sat on the mat"], 1: ["hello there world"]}
+    s_native, per_n = Bleu(4, use_native=True).compute_score(gts, res)
+    s_python, per_p = Bleu(4, use_native=False).compute_score(gts, res)
+    np.testing.assert_allclose(s_native, s_python, rtol=1e-12)
+    for a, b in zip(per_n, per_p):
+        np.testing.assert_allclose(a, b, rtol=1e-12)

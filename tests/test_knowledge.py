@@ -121,3 +121,23 @@ def test_sample_sentence(tiny_cfg, np_rng):
     assert logprobs.shape == (3, 1)
     assert (logprobs <= 0).all()
     assert (tokens[:, 0] == cfg.bos_token_id).all()
+
+
+def test_atomic_generator_beam(gpt1_assets):
+    d, vocab = gpt1_assets
+    enc = GPT1BPE(d + "/vocab.json", d + "/merges.txt")
+    params = gpt.init_gpt_params(jax.random.PRNGKey(1), len(vocab),
+                                 n_ctx=17 + 34 + 1, d_model=32, n_layers=2,
+                                 n_heads=4)
+    cat_tokens = {c: vocab["<%s>" % c] for c in RESULT_MAP}
+    gen = AtomicGenerator(params, enc, sampling_algorithm="beam-3",
+                          category_tokens=cat_tokens, n_heads=4)
+    out = gen.get_reason("person opens the door")
+    assert set(out) == {"after", "before", "intent"}
+    out2 = gen.get_reason("person opens the door")
+    assert out == out2  # beam is deterministic
+    # beam result should score at least as well as greedy under the model
+    greedy = AtomicGenerator(params, enc, sampling_algorithm="greedy",
+                             category_tokens=cat_tokens, n_heads=4)
+    g = greedy.get_reason("person opens the door")
+    assert isinstance(g, dict)
