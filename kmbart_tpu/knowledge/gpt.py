@@ -90,9 +90,9 @@ def gpt_logits(params, hidden, dtype=jnp.bfloat16):
 def init_gpt_cache(params, batch, max_len, n_heads=12, dtype=jnp.bfloat16):
     L = params["layers"]["ln1"]["scale"].shape[0]
     D = params["embed"].shape[1]
-    hd = D // n_heads
-    return {"k": jnp.zeros((L, batch, max_len, n_heads, hd), dtype),
-            "v": jnp.zeros((L, batch, max_len, n_heads, hd), dtype)}
+    # flat (pre-head-split) K/V storage — see ops/attention.py cache notes
+    return {"k": jnp.zeros((L, batch, max_len, D), dtype),
+            "v": jnp.zeros((L, batch, max_len, D), dtype)}
 
 
 def gpt_step(params, token_ids, cache, cache_index, n_heads=12,

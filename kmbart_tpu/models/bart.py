@@ -371,28 +371,28 @@ def init_decode_cache(params, cfg: MultiModalBartConfig, enc_hidden, max_len,
                       cache_dtype=None):
     """Preallocate the static decode cache.
 
-    self K/V: [L, B, max_len, H, hd] zero-filled; cross K/V projected once
-    from the encoder output: [L, B, Tenc, H, hd]. This replaces the
-    reference's per-layer dict cache (HF 3.0.2 ``decoder_cached_states``)
-    with a single fixed-shape pytree an XLA while-loop can carry.
+    self K/V: [L, B, max_len, D] zero-filled; cross K/V projected once from
+    the encoder output: [L, B, Tenc, D]. K/V are stored flat (pre-head-split,
+    D = H*hd): [T, D] tiles perfectly on the TPU and the split is a free
+    reshape at read time. This replaces the reference's per-layer dict cache
+    (HF 3.0.2 ``decoder_cached_states``) with a single fixed-shape pytree an
+    XLA while-loop can carry.
     """
     dtype = cache_dtype or jnp.dtype(cfg.dtype)
     L = cfg.decoder_layers
     B, Tenc, D = enc_hidden.shape
-    H = cfg.decoder_attention_heads
-    hd = D // H
 
     def project(lp):
-        k = split_heads(dense(enc_hidden, lp["encoder_attn"]["k_kernel"],
-                              lp["encoder_attn"]["k_bias"], dtype), H)
-        v = split_heads(dense(enc_hidden, lp["encoder_attn"]["v_kernel"],
-                              lp["encoder_attn"]["v_bias"], dtype), H)
+        k = dense(enc_hidden, lp["encoder_attn"]["k_kernel"],
+                  lp["encoder_attn"]["k_bias"], dtype)
+        v = dense(enc_hidden, lp["encoder_attn"]["v_kernel"],
+                  lp["encoder_attn"]["v_bias"], dtype)
         return k.astype(dtype), v.astype(dtype)
 
     cross_k, cross_v = jax.vmap(project)(params["decoder"]["layers"])
     return {
-        "self_k": jnp.zeros((L, B, max_len, H, hd), dtype),
-        "self_v": jnp.zeros((L, B, max_len, H, hd), dtype),
+        "self_k": jnp.zeros((L, B, max_len, D), dtype),
+        "self_v": jnp.zeros((L, B, max_len, D), dtype),
         "cross_k": cross_k,
         "cross_v": cross_v,
     }

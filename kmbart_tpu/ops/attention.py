@@ -77,12 +77,15 @@ def multi_head_attention(
              "o_kernel","o_bias"} with kernels [D, D].
     kv_hidden: source of K/V (encoder states for cross-attention); defaults
                to ``hidden`` (self-attention).
-    cache: decode-time KV cache dict {"k": [B, Tmax, H, hd], "v": ...};
-           when given with ``cache_index`` the new K/V rows are written at
-           that position and attention runs over the whole static buffer
-           (the caller's bias must mask positions > cache_index).
-           For cross-attention pass a cache with precomputed k/v and
-           ``cache_index=None`` to reuse them without projection.
+    cache: decode-time KV cache dict {"k": [B, Tmax, D], "v": ...} — K/V are
+           stored *flat* (pre-head-split): [T, D] tiles perfectly on TPU
+           (D = H*hd is a multiple of 128) and the head split is a free
+           reshape at read time. With ``cache_index`` the new K/V rows are
+           written at that position and attention runs over the whole
+           static buffer (the caller's bias must mask positions >
+           cache_index). For cross-attention pass a cache with precomputed
+           flat k/v and ``cache_index=None`` to reuse them without
+           projection.
     Returns (output [B, Tq, D] fp32, updated cache or None).
     """
     src = hidden if kv_hidden is None else kv_hidden
@@ -91,20 +94,22 @@ def multi_head_attention(
 
     if cache is not None and cache_index is None:
         # cross-attention decode path: K/V precomputed once from encoder output
-        k, v = cache["k"], cache["v"]
+        k, v = split_heads(cache["k"], num_heads), split_heads(cache["v"], num_heads)
         new_cache = cache
     else:
-        k = split_heads(dense(src, params["k_kernel"], params["k_bias"], dtype), num_heads)
-        v = split_heads(dense(src, params["v_kernel"], params["v_bias"], dtype), num_heads)
+        k_flat = dense(src, params["k_kernel"], params["k_bias"], dtype)
+        v_flat = dense(src, params["v_kernel"], params["v_bias"], dtype)
         if cache is not None:
             # incremental self-attention: write the new rows at cache_index
-            k = jax.lax.dynamic_update_slice(
-                cache["k"], k.astype(cache["k"].dtype), (0, cache_index, 0, 0))
-            v = jax.lax.dynamic_update_slice(
-                cache["v"], v.astype(cache["v"].dtype), (0, cache_index, 0, 0))
-            new_cache = {"k": k, "v": v}
+            k_flat = jax.lax.dynamic_update_slice(
+                cache["k"], k_flat.astype(cache["k"].dtype), (0, cache_index, 0))
+            v_flat = jax.lax.dynamic_update_slice(
+                cache["v"], v_flat.astype(cache["v"].dtype), (0, cache_index, 0))
+            new_cache = {"k": k_flat, "v": v_flat}
         else:
             new_cache = None
+        k = split_heads(k_flat, num_heads)
+        v = split_heads(v_flat, num_heads)
 
     if bias is None and (key_mask is not None or causal):
         # key-padding (+ optional causal) masking: eligible for the fused

@@ -247,3 +247,51 @@ def test_loader_process_workers(fixture_dataset, tokenizer):
     assert all(b["input_ids"].shape[0] % 2 == 0 for b in got)
     np.testing.assert_array_equal(got[0]["input_ids"],
                                   ref[0]["input_ids"][:got[0]["input_ids"].shape[0]])
+
+
+def test_collator_model_fuzz(tokenizer, np_rng):
+    """Randomised batches through collation + the full pretraining loss:
+    every combination of image counts/task types must produce finite losses
+    with static shapes."""
+    import jax
+    from kmbart_tpu.config import tiny_config
+    from kmbart_tpu.models.pretraining import (
+        init_pretraining_params, pretraining_loss)
+    from kmbart_tpu.parallel.mesh import device_arrays
+
+    cfg = tiny_config(
+        vocab_size=len(tokenizer) + 8, img_feat_id=tokenizer.img_feat_id,
+        cls_token_id=tokenizer.cls_token_id,
+        pad_token_id=tokenizer.pad_token_id,
+        bos_token_id=tokenizer.bos_token_id,
+        eos_token_id=tokenizer.eos_token_id)
+    col = Collator(tokenizer, has_label=True, mlm_enabled=True,
+                   mrm_enabled=True, mlm_probability=0.4, mrm_probability=0.4,
+                   max_img_num=cfg.max_img_num, image_feature_size=20,
+                   num_mrm_labels=cfg.num_labels,
+                   rng=np.random.default_rng(11))
+    params = init_pretraining_params(jax.random.PRNGKey(0), cfg)
+    loss_jit = jax.jit(lambda p, b: pretraining_loss(p, cfg, b)[0])
+
+    words = ["walks", "sits", "eats", "runs", "12", "a dog,", "isn't here"]
+    tasks = ["intent", "before", "after", "caption"]
+    shapes = set()
+    for trial in range(6):
+        batch = []
+        for b in range(4):
+            n = int(np_rng.integers(0, cfg.max_img_num + 1))
+            e = {"task_type": tasks[int(np_rng.integers(0, 4))],
+                 "labels": " ".join(np_rng.choice(words, 3)),
+                 "event": " ".join(np_rng.choice(words, 2)),
+                 "index": b}
+            if n:
+                e["image_features"] = np_rng.normal(size=(n, 20)).astype(np.float32)
+                e["mrm_labels"] = np_rng.dirichlet(
+                    np.ones(cfg.num_labels), n).astype(np.float32)
+            batch.append(e)
+        out = col(batch)
+        arrays = device_arrays(out)
+        shapes.add(tuple(sorted((k, v.shape) for k, v in arrays.items())))
+        loss = loss_jit(params, arrays)
+        assert np.isfinite(float(loss)), trial
+    assert len(shapes) == 1, "collator output shapes must be static"
