@@ -1,0 +1,63 @@
+"""Serving CLI: load a checkpoint and serve generation over HTTP.
+
+No reference counterpart (the reference is research code); this completes
+the production-serving story: dynamic batching on fixed-shape compiled
+programs (kmbart_tpu/serving/engine.py) behind a threaded HTTP endpoint.
+
+    python serve.py --checkpoint ckpt/model39 --tokenizer_dir ASSETS \\
+        --port 8000 --num_beams 5 --max_length 32
+    curl -XPOST localhost:8000/generate -d '{"text": "<caption><event> ... </event>"}'
+"""
+
+import argparse
+import os
+
+from kmbart_tpu.cli_common import setup_platform
+from kmbart_tpu.checkpoint.io import load_pretrained
+from kmbart_tpu.data.tokenization import ConditionTokenizer
+from kmbart_tpu.models.conditional import init_conditional_params
+from kmbart_tpu.serving.engine import GenerationEngine
+from kmbart_tpu.serving.http import serve
+from kmbart_tpu.utils.logger import Logger
+
+
+def main(args):
+    setup_platform(args)
+    logger = Logger()
+    logger.info("Loading model...")
+    tokenizer = (ConditionTokenizer(assets_dir=args.tokenizer_dir)
+                 if args.tokenizer_dir else None)
+    cfg, params, _ = load_pretrained(args.checkpoint, init_conditional_params,
+                                     strict=False)
+    engine = GenerationEngine(
+        params, cfg, tokenizer=tokenizer,
+        max_batch_size=args.max_batch_size,
+        encoder_seq_len=args.encoder_seq_len,
+        max_wait_ms=args.max_wait_ms,
+        num_beams=args.num_beams, max_length=args.max_length,
+        early_stopping=True)
+    logger.info(f"Serving on http://{args.host}:{args.port}", pad=True)
+    try:
+        serve(engine, host=args.host, port=args.port, block=True)
+    finally:
+        engine.shutdown()
+
+
+def parse_args():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--checkpoint", required=True, type=str)
+    parser.add_argument("--tokenizer_dir",
+                        default=os.environ.get("KMBART_TOKENIZER_DIR"), type=str)
+    parser.add_argument("--host", default="127.0.0.1", type=str)
+    parser.add_argument("--port", default=8000, type=int)
+    parser.add_argument("--max_batch_size", default=32, type=int)
+    parser.add_argument("--encoder_seq_len", default=96, type=int)
+    parser.add_argument("--max_wait_ms", default=5.0, type=float)
+    parser.add_argument("--num_beams", default=5, type=int)
+    parser.add_argument("--max_length", default=32, type=int)
+    parser.add_argument("--cpu", action="store_true")
+    return parser.parse_args()
+
+
+if __name__ == "__main__":
+    main(parse_args())

@@ -48,3 +48,55 @@ def test_engine_multirow_and_errors(tiny_cfg, np_rng):
         assert out.shape == (3, 6)
     finally:
         engine.shutdown()
+
+
+def test_http_server(tiny_cfg, np_rng, toy_assets):
+    """HTTP front end end-to-end: health + text + token-id requests."""
+    import json
+    import urllib.request
+
+    from kmbart_tpu.data.tokenization import ConditionTokenizer
+    from kmbart_tpu.serving.http import serve
+
+    tok = ConditionTokenizer(assets_dir=toy_assets)
+    cfg = tiny_cfg.replace(dtype="float32")
+    params = init_conditional_params(jax.random.PRNGKey(2), cfg)
+    engine = GenerationEngine(params, cfg, tokenizer=tok, max_batch_size=4,
+                              encoder_seq_len=24, max_length=8)
+    server = serve(engine, port=0, block=False)
+    port = server.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    try:
+        with urllib.request.urlopen(base + "/health", timeout=30) as r:
+            assert json.loads(r.read())["status"] == "ok"
+
+        req = urllib.request.Request(
+            base + "/generate",
+            data=json.dumps({"text": "a person waits"}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = json.loads(r.read())
+        assert "generations" in out and len(out["generations"]) == 1
+
+        ids = np_rng.integers(4, 80, (2, 6)).tolist()
+        req = urllib.request.Request(
+            base + "/generate",
+            data=json.dumps({"input_ids": ids}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = json.loads(r.read())
+        assert len(out["generations"]) == 2
+
+        # bad request -> 400 with an error message, server stays alive
+        req = urllib.request.Request(base + "/generate", data=b'{"bogus": 1}',
+                                     headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        with urllib.request.urlopen(base + "/health", timeout=30) as r:
+            assert json.loads(r.read())["status"] == "ok"
+    finally:
+        server.shutdown()
+        engine.shutdown()
