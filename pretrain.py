@@ -155,6 +155,13 @@ def main(args):
                                   param_specs=param_specs)
 
     def callback(step, epoch, state, logger, **kwargs):
+        if args.save_every_steps and (step + 1) % args.save_every_steps == 0:
+            path = os.path.join(checkpoint_path,
+                                'step{}'.format(int(state.step)))
+            save_pretrained(path, cfg, state.params)
+            save_training_data(path, opt_state=state.opt_state, epoch=epoch,
+                               step=int(state.step))
+            logger.info('Saved mid-epoch checkpoint at "{}"'.format(path))
         if logger is not None and step % 100 == 0:
             from kmbart_tpu.models.pretraining import MultiModalBartForPreTraining
             data = collate_fn([train_dataset[0]])
@@ -213,6 +220,8 @@ def parse_args():
     parser.add_argument('--num_gen', default=1, type=int)
     parser.add_argument('--num_beams', default=1, type=int)
     parser.add_argument('--continue_training', action='store_true')
+    parser.add_argument('--save_every_steps', default=0, type=int,
+                        help='also checkpoint every N steps (0 = per-epoch only, the reference behaviour); preemption robustness')
     parser.add_argument('--validate_loss', action='store_true')
     parser.add_argument('--validate_score', action='store_true')
     parser.add_argument('--max_img_num', type=int, default=30)
