@@ -26,6 +26,10 @@ def exact_top_k(x, k, *, iterative_threshold=4096):
     if N <= iterative_threshold * k:
         return jax.lax.top_k(x, k)
 
+    from kmbart_tpu.ops.pallas_topk import pallas_top_k, pallas_topk_supported
+    if pallas_topk_supported(N, k):
+        return pallas_top_k(x, k)
+
     rows = jnp.arange(B)
 
     def body(i, state):

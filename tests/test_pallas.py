@@ -97,3 +97,14 @@ def test_flash_gradients_match_xla(np_rng):
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5)
+
+
+def test_pallas_top_k_matches_lax(np_rng):
+    from kmbart_tpu.ops.pallas_topk import pallas_top_k
+    x = np_rng.normal(size=(3, 4096)).astype(np.float32)
+    x[0, 77] = x[0, 203] = 11.0  # ties -> lowest index
+    x[1, -1] = 50.0
+    v1, i1 = jax.lax.top_k(jnp.asarray(x), 10)
+    v2, i2 = pallas_top_k(jnp.asarray(x), 10, interpret=True)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
