@@ -116,7 +116,13 @@ class FeatureExtractor:
         self.post_nms_topk = post_nms_topk
         self.rpn_min_size = rpn_min_size
         self.dtype = dtype
-        self._roi_fn = {}
+        # jitted entry points (compiled once per padded-blob/ROI-count shape;
+        # blobs are padded to 32-divisible sizes like detectron2's
+        # size_divisibility, so bucket counts stay small)
+        self._backbone_j = jax.jit(self._backbone)
+        self._roi_features_j = jax.jit(self._roi_features)
+        self._proposal_j = jax.jit(self._proposal_pipeline,
+                                   static_argnames=("im_h", "im_w"))
 
     # ---- core per-image computations (jitted per feature-map shape) -------
 
@@ -161,14 +167,36 @@ class FeatureExtractor:
         k = min(self.pre_nms_topk, boxes.shape[0])
         top_scores, top_idx = jax.lax.top_k(obj, k)
         top_boxes = boxes[top_idx]
+        # only post_nms_topk survivors matter: cap the greedy iterations
         keep = nms_mask(top_boxes, top_scores, 0.7,
-                        valid=jnp.isfinite(top_scores))
+                        valid=jnp.isfinite(top_scores),
+                        max_keep=self.post_nms_topk)
         score_kept = jnp.where(keep, top_scores, -jnp.inf)
         n = min(self.post_nms_topk, k)
         final_scores, final_idx = jax.lax.top_k(score_kept, n)
         return top_boxes[final_idx], jnp.isfinite(final_scores)
 
+    def _proposal_pipeline(self, params, blob, *, im_h, im_w):
+        """backbone -> RPN -> ROI features -> class-wise NMS confidences,
+        fused into one jitted program."""
+        feat = self._backbone(params, blob)
+        proposals, valid = self._rpn_proposals(params, feat, im_h, im_w)
+        feats, scores = self._roi_features(params, feat, proposals)
+        max_conf = class_wise_max_conf(proposals, scores, 0.3)
+        max_conf = jnp.where(valid, max_conf, 0.0)
+        return proposals, feats, scores, max_conf
+
     # ---- public API ----------------------------------------------------------
+
+    @staticmethod
+    def _pad32(blob):
+        """Pad to 32-divisible spatial dims (detectron2 size_divisibility)."""
+        h, w = blob.shape[:2]
+        ph = (-h) % 32
+        pw = (-w) % 32
+        if ph or pw:
+            blob = np.pad(blob, ((0, ph), (0, pw), (0, 0)))
+        return blob
 
     def extract_feature(self, image, boxes=None):
         if boxes is None:
@@ -178,10 +206,11 @@ class FeatureExtractor:
     def _extract_with_bbox(self, image, boxes):
         """Given-boxes path (scripts/feature_extractor.py:50-73)."""
         blob, im_scale = get_image_blob(image)
+        blob = self._pad32(blob)
         scaled = np.asarray(boxes, np.float32) * im_scale
-        feat = self._backbone(self.params, jnp.asarray(blob))
-        feats, scores = self._roi_features(self.params, feat,
-                                           jnp.asarray(scaled))
+        feat = self._backbone_j(self.params, jnp.asarray(blob))
+        feats, scores = self._roi_features_j(self.params, feat,
+                                             jnp.asarray(scaled))
         return {
             "boxes": np.asarray(scaled) / im_scale,
             "scores": np.asarray(scores),
@@ -191,13 +220,10 @@ class FeatureExtractor:
     def _extract_without_bbox(self, image):
         """Proposal path (scripts/feature_extractor.py:75-116)."""
         blob, im_scale = get_image_blob(image)
-        feat = self._backbone(self.params, jnp.asarray(blob))
         h, w = blob.shape[:2]
-        proposals, valid = self._rpn_proposals(self.params, feat, h, w)
-        feats, scores = self._roi_features(self.params, feat, proposals)
-
-        max_conf = class_wise_max_conf(proposals, scores, 0.3)
-        max_conf = jnp.where(valid, max_conf, 0.0)
+        blob = self._pad32(blob)
+        proposals, feats, scores, max_conf = self._proposal_j(
+            self.params, jnp.asarray(blob), im_h=h, im_w=w)
         max_conf = np.asarray(max_conf)
         keep = np.nonzero(max_conf >= self.conf_thresh)[0]
         if len(keep) < self.min_boxes:

@@ -32,8 +32,13 @@ def box_iou(boxes_a, boxes_b):
     return jnp.where(union > 0, inter / union, 0.0)
 
 
-def nms_mask(boxes, scores, iou_threshold, valid=None):
-    """Boolean keep-mask NMS (fixed shape). ``valid`` masks padded rows."""
+def nms_mask(boxes, scores, iou_threshold, valid=None, max_keep=None):
+    """Boolean keep-mask NMS (fixed shape). ``valid`` masks padded rows.
+
+    ``max_keep`` bounds the iteration count: each greedy step keeps exactly
+    the next-highest unsuppressed box, so the first K kept boxes are
+    identical to full NMS — when only the top K survivors matter (RPN's
+    post_nms_topk), 6000 candidates need 300 iterations, not 6000."""
     n = boxes.shape[0]
     iou = box_iou(boxes, boxes)
     if valid is None:
@@ -49,7 +54,8 @@ def nms_mask(boxes, scores, iou_threshold, valid=None):
         alive = alive & ~suppress & (jnp.arange(n) != idx)
         return keep, alive
 
-    keep, _ = jax.lax.fori_loop(0, n, body,
+    steps = n if max_keep is None else min(n, max_keep)
+    keep, _ = jax.lax.fori_loop(0, steps, body,
                                 (jnp.zeros((n,), bool), valid))
     return keep
 
@@ -73,13 +79,34 @@ def class_wise_max_conf(boxes, scores, iou_threshold=0.3):
     """The reference's per-class NMS confidence pooling
     (scripts/feature_extractor.py:90-98): for every class c >= 1 run NMS on
     (boxes, scores[:, c]) and raise each kept box's max_conf to its class
-    score. Vectorised over classes with vmap."""
+    score.
+
+    All classes share one IoU matrix, so the suppression runs as a single
+    fori_loop over box ranks with [C, N] vector state (vs vmapping
+    ``nms_mask`` per class, which re-streamed the [C, N, N] IoU tensor every
+    step — ~100x less HBM traffic for the detector's 1601 classes)."""
     boxes = jnp.asarray(boxes, jnp.float32)
     scores = jnp.asarray(scores, jnp.float32)
+    n = boxes.shape[0]
+    iou = box_iou(boxes, boxes)                 # [N, N], shared by classes
+    cls_scores = scores[:, 1:].T                # [C, N]
+    C = cls_scores.shape[0]
+    c_idx = jnp.arange(C)
+    col = jnp.arange(n)[None, :]
 
-    def per_class(cls_scores):
-        keep = nms_mask(boxes, cls_scores, iou_threshold)
-        return jnp.where(keep, cls_scores, 0.0)
+    def body(_, state):
+        alive, kept = state
+        s = jnp.where(alive, cls_scores, -jnp.inf)
+        idx = jnp.argmax(s, axis=1)                        # [C]
+        best = jnp.take_along_axis(s, idx[:, None], axis=1)[:, 0]
+        has = best > -jnp.inf
+        kept = kept.at[c_idx, idx].max(jnp.where(has, best, 0.0))
+        iou_rows = iou[idx]                                # [C, N]
+        suppress = (iou_rows > iou_threshold) & has[:, None]
+        alive = alive & ~suppress & (col != idx[:, None])
+        return alive, kept
 
-    kept_scores = jax.vmap(per_class, in_axes=1, out_axes=1)(scores[:, 1:])
-    return jnp.max(kept_scores, axis=1)
+    alive = jnp.ones((C, n), bool)
+    kept = jnp.zeros((C, n), jnp.float32)
+    _, kept = jax.lax.fori_loop(0, n, body, (alive, kept))
+    return jnp.max(kept, axis=0)

@@ -131,3 +131,21 @@ def test_extractor_proposal_path(np_rng):
     assert 3 <= n <= 6
     assert out["boxes"].shape == (n, 4)
     assert out["scores"].shape == (n, 11)
+
+
+def test_class_wise_max_conf_matches_per_class_nms(np_rng):
+    """The fused multi-class suppression must equal per-class nms_mask."""
+    import jax.numpy as jnp
+    from kmbart_tpu.vision.nms import nms_mask
+    n, C = 25, 7
+    xy = np_rng.uniform(0, 60, (n, 2))
+    wh = np_rng.uniform(5, 30, (n, 2))
+    boxes = np.concatenate([xy, xy + wh], axis=1).astype(np.float32)
+    scores = np_rng.random((n, C + 1)).astype(np.float32)
+    fused = np.asarray(class_wise_max_conf(boxes, scores, 0.4))
+    ref = np.zeros(n, np.float32)
+    for c in range(1, C + 1):
+        keep = np.asarray(nms_mask(jnp.asarray(boxes),
+                                   jnp.asarray(scores[:, c]), 0.4))
+        ref = np.maximum(ref, np.where(keep, scores[:, c], 0.0))
+    np.testing.assert_allclose(fused, ref, rtol=1e-6)
