@@ -91,6 +91,11 @@ class MultiModalBartConfig:
     dtype: str = "bfloat16"       # compute dtype; params/optimizer stay fp32
     remat: bool = False           # jax.checkpoint each layer (memory vs flops)
     max_img_num: int = 30         # fixed image-slot count for static shapes
+    decode_unroll_layers: bool = False  # unroll the decode-step layer loop.
+    # Measured WORSE on v5e (187 vs 261 sent/s, beam-5 bench): with static
+    # slices XLA hoists f32 upcasts of the cross-K/V out of the decode loop,
+    # doubling per-step HBM reads, and loses the scan's async slice
+    # prefetch. Kept as a knob for other backends/shapes.
 
     def __post_init__(self):
         # frozen dataclass: normalise unhashable field values in place

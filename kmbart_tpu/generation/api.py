@@ -80,7 +80,11 @@ def _compiled_generate(cfg: MultiModalBartConfig, opts: GenerationOptions):
     opts.validate()
     K = opts.num_beams
     mult = opts.num_return_sequences if opts.do_sample else 1
-    expand = K * mult
+    # batch-major expansion (mixins.py:316-324). The beam dimension is NOT
+    # materialised: beam_search_loop shares each sample's encoder states
+    # across its K beams (deduplicated cross K/V), so only the
+    # return-sequence multiplier expands the encoder outputs.
+    expand = mult if K > 1 else K * mult
 
     def fn(params, input_ids, image_features, attention_mask, rng):
         B = input_ids.shape[0]
@@ -88,7 +92,6 @@ def _compiled_generate(cfg: MultiModalBartConfig, opts: GenerationOptions):
                           attention_mask)
         fbias = params.get("final_logits_bias")
         if expand > 1:
-            # batch-major expansion (mixins.py:316-324)
             enc = jnp.repeat(enc, expand, axis=0)
             attention_mask = jnp.repeat(attention_mask, expand, axis=0)
 

@@ -76,7 +76,11 @@ def beam_search_loop(params, cfg, fbias, enc_hidden, enc_mask, rng, *,
                      no_repeat_ngram_size, bad_words_ids, pad_token_id,
                      eos_token_id, decoder_start_token_id,
                      num_return_sequences):
-    """enc_hidden/enc_mask are already beam-expanded to [B*K, ...].
+    """enc_hidden/enc_mask are per-sample ([batch_size, ...], NOT
+    beam-expanded): the K beams of a sample share its encoder states, so the
+    cross K/V are kept deduplicated and the attention layer folds the beam
+    group into the query length (the reference instead ``index_select``s K
+    copies, mixins.py:316-324 — K x the decode-loop HBM traffic).
 
     Returns tokens [B * num_return_sequences, max_length].
     """
@@ -87,7 +91,8 @@ def beam_search_loop(params, cfg, fbias, enc_hidden, enc_mask, rng, *,
 
     tokens = jnp.full((BK, max_length), pad_token_id, jnp.int32)
     tokens = tokens.at[:, 0].set(decoder_start_token_id)
-    cache = bart.init_decode_cache(params, cfg, enc_hidden, max_length)
+    cache = bart.init_decode_cache(params, cfg, enc_hidden, max_length,
+                                   self_batch=BK)
 
     beam_scores = jnp.full((B, K), NEG_1E9, jnp.float32).at[:, 0].set(0.0)
     if do_sample:

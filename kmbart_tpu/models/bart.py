@@ -368,19 +368,27 @@ def decode(params, cfg: MultiModalBartConfig, decoder_input_ids, enc_hidden,
 # --------------------------------------------------------------------------
 
 def init_decode_cache(params, cfg: MultiModalBartConfig, enc_hidden, max_len,
-                      cache_dtype=None):
+                      cache_dtype=None, self_batch=None):
     """Preallocate the static decode cache.
 
-    self K/V: [L, B, max_len, D] zero-filled; cross K/V projected once from
-    the encoder output: [L, B, Tenc, D]. K/V are stored flat (pre-head-split,
-    D = H*hd): [T, D] tiles perfectly on the TPU and the split is a free
-    reshape at read time. This replaces the reference's per-layer dict cache
-    (HF 3.0.2 ``decoder_cached_states``) with a single fixed-shape pytree an
-    XLA while-loop can carry.
+    self K/V: [L, self_batch, max_len, D] zero-filled; cross K/V projected
+    once from the encoder output: [L, B, Tenc, D]. K/V are stored flat
+    (pre-head-split, D = H*hd): [T, D] tiles perfectly on the TPU and the
+    split is a free reshape at read time. This replaces the reference's
+    per-layer dict cache (HF 3.0.2 ``decoder_cached_states``) with a single
+    fixed-shape pytree an XLA while-loop can carry.
+
+    ``self_batch`` (default B) lets beam search keep per-beam self K/V while
+    the cross K/V stay *deduplicated* per sample — the attention layer folds
+    the beam group into the query length (ops/attention.py), so the hot
+    decode loop streams each sample's encoder K/V once instead of
+    ``num_beams`` times.
     """
     dtype = cache_dtype or jnp.dtype(cfg.dtype)
     L = cfg.decoder_layers
     B, Tenc, D = enc_hidden.shape
+    if self_batch is None:
+        self_batch = B
 
     def project(lp):
         k = dense(enc_hidden, lp["encoder_attn"]["k_kernel"],
@@ -391,8 +399,8 @@ def init_decode_cache(params, cfg: MultiModalBartConfig, enc_hidden, max_len,
 
     cross_k, cross_v = jax.vmap(project)(params["decoder"]["layers"])
     return {
-        "self_k": jnp.zeros((L, B, max_len, D), dtype),
-        "self_v": jnp.zeros((L, B, max_len, D), dtype),
+        "self_k": jnp.zeros((L, self_batch, max_len, D), dtype),
+        "self_v": jnp.zeros((L, self_batch, max_len, D), dtype),
         "cross_k": cross_k,
         "cross_v": cross_v,
     }
@@ -430,10 +438,29 @@ def decode_step(params, cfg: MultiModalBartConfig, token_ids, cache, cache_index
             cache=layer_cache, cache_index=cache_index)
         return y, (new_cache["self"]["k"], new_cache["self"]["v"])
 
-    x, (new_sk, new_sv) = jax.lax.scan(
-        body, x,
-        (params["decoder"]["layers"], cache["self_k"], cache["self_v"],
-         cache["cross_k"], cache["cross_v"]))
+    if cfg.decode_unroll_layers:
+        # Python-unrolled layer loop: every cache access is a *static* slice,
+        # so XLA fuses the bf16->f32 upcast into the QK/AV reduce instead of
+        # materialising a per-step f32 copy of each cross-K/V layer (the
+        # lax.scan dynamic-slice blocks that fusion; profiled on v5e).
+        n_layers = cache["self_k"].shape[0]
+        layers = params["decoder"]["layers"]
+        new_sk, new_sv = [], []
+        for i in range(n_layers):
+            lp = jax.tree_util.tree_map(lambda a: a[i], layers)
+            x, (sk_i, sv_i) = body(x, (lp, cache["self_k"][i],
+                                       cache["self_v"][i],
+                                       cache["cross_k"][i],
+                                       cache["cross_v"][i]))
+            new_sk.append(sk_i)
+            new_sv.append(sv_i)
+        new_sk = jnp.stack(new_sk)
+        new_sv = jnp.stack(new_sv)
+    else:
+        x, (new_sk, new_sv) = jax.lax.scan(
+            body, x,
+            (params["decoder"]["layers"], cache["self_k"], cache["self_v"],
+             cache["cross_k"], cache["cross_v"]))
 
     if cfg.add_final_layer_norm:
         ln = params["decoder"]["layer_norm"]

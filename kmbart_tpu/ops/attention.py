@@ -93,9 +93,24 @@ def multi_head_attention(
     q = split_heads(dense(hidden, params["q_kernel"], params["q_bias"], dtype), num_heads)
 
     if cache is not None and cache_index is None:
-        # cross-attention decode path: K/V precomputed once from encoder output
+        # cross-attention decode path: K/V precomputed once from encoder
+        # output. The cache batch may be a *divisor* of the query batch
+        # (beam search: all K beams of a sample attend the same encoder
+        # states) — fold the beam group into the query length instead of
+        # streaming K duplicate copies of K/V from HBM every step.
         k, v = split_heads(cache["k"], num_heads), split_heads(cache["v"], num_heads)
         new_cache = cache
+        group = q.shape[0] // k.shape[0]
+        if group > 1:
+            bq, tq, nh, hd = q.shape
+            assert tq == 1, "grouped cross-attention requires Tq == 1"
+            q = q.reshape(bq // group, group, nh, hd)
+            out = attention_core(q, k, v, bias, dropout_rate=dropout_rate,
+                                 rng=rng, train=train, dtype=dtype)
+            out = out.reshape(bq, 1, nh, hd)
+            out = dense(merge_heads(out), params["o_kernel"],
+                        params["o_bias"], dtype)
+            return out, new_cache
     else:
         k_flat = dense(src, params["k_kernel"], params["k_bias"], dtype)
         v_flat = dense(src, params["v_kernel"], params["v_bias"], dtype)
