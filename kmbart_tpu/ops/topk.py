@@ -3,12 +3,28 @@
 On this TPU backend ``jax.lax.top_k`` over the beam candidate matrix
 [B, num_beams * vocab] lowers to a full variadic sort — profiled at ~10 ms
 per decode step (the single largest cost in beam search, xplane %sort.25).
-For k << N an iterative argmax is exact and bandwidth-bound instead:
-k passes of (argmax + mask) read ~k*N floats (~0.4 ms/step here).
+``jax.lax.approx_max_k(recall_target=1.0)`` falls back to the same sort.
+For k << N two exact alternatives, both bandwidth-bound:
+
+  - *iterative argmax* (default): k passes of (argmax + mask) read k*N
+    floats.
+  - *chunk-max*: one pass computes per-chunk maxima, then k tiny iterations
+    each pick the best chunk, resolve the position inside that one chunk,
+    and update its cached maximum — ~1/k the HBM traffic.
+
+Measured on v5e over the beam bench's [32, 251600] candidate matrix:
+chunk-max 1.02 ms vs iterative 1.18 ms standalone, but end-to-end beam
+throughput is equal-or-slightly-worse (the decode loop overlaps the top-k
+with async hypothesis copies, hiding the op-level win, while the unrolled
+chunk bookkeeping inflates the step program) — so iterative stays the
+default and chunk-max is kept as an exact, tested alternative.
 
 Tie-breaking matches lax.top_k / torch.topk: the lowest index wins, and
-results come out sorted descending.
+results come out sorted descending (greedy picks are value-descending with
+ascending-index ties because argmax returns the first maximum).
 """
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -25,11 +41,64 @@ def exact_top_k(x, k, *, iterative_threshold=4096):
     B, N = x.shape
     if N <= iterative_threshold * k:
         return jax.lax.top_k(x, k)
+    return _iterative_top_k(x, k)
 
-    from kmbart_tpu.ops.pallas_topk import pallas_top_k, pallas_topk_supported
-    if pallas_topk_supported(N, k):
-        return pallas_top_k(x, k)
 
+def _chunk_max_top_k(x, k, chunk=1024, unroll=True):
+    """Exact top-k via cached per-chunk maxima.
+
+    One full read builds cm[b, c] = max of chunk c; each of the k greedy
+    steps then works on [B, C] / [B, chunk] tensors only:
+      1. c* = argmax(cm)                     (lowest chunk wins ties)
+      2. gather chunk c*, mask already-taken positions, argmax inside it
+      3. record the (value, global index); refresh cm[b, c*]
+    """
+    B, N = x.shape
+    C = -(-N // chunk)
+    if C * chunk != N:
+        x = jnp.pad(x, ((0, 0), (0, C * chunk - N)), constant_values=NEG_INF)
+    xr = x.reshape(B, C, chunk)
+    cm = jnp.max(xr, axis=-1)                          # [B, C] one full pass
+    rows = jnp.arange(B)
+    col = jnp.arange(chunk)
+
+    def body(t, state):
+        vals, idxs, cm, taken_c, taken_p = state
+        c_star = jnp.argmax(cm, axis=1)                # [B]
+        ch = xr[rows, c_star]                          # [B, chunk]
+        # mask positions of this chunk already taken in earlier steps
+        same_chunk = taken_c == c_star[:, None]        # [B, k]
+        taken_mask = jnp.any(
+            same_chunk[:, None, :] & (taken_p[:, None, :] == col[None, :, None]),
+            axis=-1)                                   # [B, chunk]
+        ch = jnp.where(taken_mask, NEG_INF, ch)
+        p = jnp.argmax(ch, axis=1)                     # [B]
+        v = jnp.take_along_axis(ch, p[:, None], axis=1)[:, 0]
+        vals = vals.at[:, t].set(v)
+        idxs = idxs.at[:, t].set((c_star * chunk + p).astype(jnp.int32))
+        taken_c = taken_c.at[:, t].set(c_star.astype(jnp.int32))
+        taken_p = taken_p.at[:, t].set(p.astype(jnp.int32))
+        # refresh this chunk's cached max with the picked position removed
+        ch = jnp.where(col[None, :] == p[:, None], NEG_INF, ch)
+        cm = cm.at[rows, c_star].set(jnp.max(ch, axis=1))
+        return vals, idxs, cm, taken_c, taken_p
+
+    vals = jnp.zeros((B, k), x.dtype)
+    idxs = jnp.zeros((B, k), jnp.int32)
+    taken_c = jnp.full((B, k), -1, jnp.int32)
+    taken_p = jnp.full((B, k), -1, jnp.int32)
+    state = (vals, idxs, cm, taken_c, taken_p)
+    if unroll:  # k is tiny; unrolling removes the fori_loop dispatch overhead
+        for t in range(k):
+            state = body(t, state)
+    else:
+        state = jax.lax.fori_loop(0, k, body, state)
+    return state[0], state[1]
+
+
+def _iterative_top_k(x, k):
+    """k passes of (argmax + mask); the default for huge rows."""
+    B, N = x.shape
     rows = jnp.arange(B)
 
     def body(i, state):

@@ -192,3 +192,23 @@ def test_exact_top_k_matches_lax(np_rng):
     v3, i3 = exact_top_k(jnp.asarray(y), 10)
     v4, i4 = jax.lax.top_k(jnp.asarray(y), 10)
     np.testing.assert_array_equal(np.asarray(i3), np.asarray(i4))
+
+
+def test_exact_top_k_tie_torture(np_rng):
+    """Chunk-max selection: duplicates inside one chunk, across chunks, and
+    straddling chunk boundaries must keep lax.top_k's lowest-index order."""
+    from kmbart_tpu.ops.topk import _chunk_max_top_k
+    import jax.numpy as jnp
+    x = np_rng.normal(size=(3, 50000)).astype(np.float32)
+    x[0, 100] = x[0, 101] = x[0, 102] = 8.0       # triple inside chunk 0
+    x[0, 511] = x[0, 512] = 8.0                    # straddles chunks 0/1
+    x[1, 1000] = x[1, 20000] = x[1, 40000] = 7.5   # across distant chunks
+    x[2, :] = -np.inf                              # exhausted row
+    x[2, 7] = 1.0
+    v1, i1 = jax.lax.top_k(jnp.asarray(x[:2]), 10)
+    v2, i2 = _chunk_max_top_k(jnp.asarray(x[:2]), 10)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    v, i = _chunk_max_top_k(jnp.asarray(x[2:]), 10)
+    assert np.asarray(i)[0, 0] == 7 and np.asarray(v)[0, 0] == 1.0
+    assert np.all(np.asarray(v)[0, 1:] == -np.inf)
