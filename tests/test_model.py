@@ -171,3 +171,35 @@ def test_mrm_kl_matches_torch(tiny_cfg):
     loss, _ = masked_kl_div_batchmean(
         logp, jnp.asarray(targets)[None], jnp.ones((1, R), bool))
     assert float(loss) == pytest.approx(ref, rel=1e-5)
+
+
+def test_grouped_cross_attention_matches_repeat(np_rng):
+    """Beam-grouped cross-attention (deduplicated K/V, ops/attention.py)
+    must equal attention against per-beam repeated K/V."""
+    from kmbart_tpu.ops.attention import multi_head_attention, padding_bias
+    B, K, T, D, H = 3, 4, 7, 32, 4
+    rng = jax.random.PRNGKey(0)
+    keys = jax.random.split(rng, 9)
+    params = {n: jax.random.normal(k, (D, D), jnp.float32) * 0.1
+              for n, k in zip(("q_kernel", "k_kernel", "v_kernel", "o_kernel"),
+                              keys[:4])}
+    params.update({n: jax.random.normal(k, (D,), jnp.float32) * 0.1
+                   for n, k in zip(("q_bias", "k_bias", "v_bias", "o_bias"),
+                                   keys[4:8])})
+    hidden = jax.random.normal(keys[8], (B * K, 1, D), jnp.float32)
+    enc_k = np_rng.normal(size=(B, T, D)).astype(np.float32)
+    enc_v = np_rng.normal(size=(B, T, D)).astype(np.float32)
+    mask = np.ones((B, T), np.int32)
+    mask[:, -2:] = 0
+
+    grouped, _ = multi_head_attention(
+        params, hidden, bias=padding_bias(jnp.asarray(mask)), num_heads=H,
+        dtype=jnp.float32,
+        cache={"k": jnp.asarray(enc_k), "v": jnp.asarray(enc_v)})
+    repeated, _ = multi_head_attention(
+        params, hidden, bias=padding_bias(jnp.repeat(jnp.asarray(mask), K, 0)),
+        num_heads=H, dtype=jnp.float32,
+        cache={"k": jnp.repeat(jnp.asarray(enc_k), K, 0),
+               "v": jnp.repeat(jnp.asarray(enc_v), K, 0)})
+    np.testing.assert_allclose(np.asarray(grouped), np.asarray(repeated),
+                               rtol=2e-5, atol=2e-5)
