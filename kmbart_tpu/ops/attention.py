@@ -89,10 +89,25 @@ def multi_head_attention(
     Returns (output [B, Tq, D] fp32, updated cache or None).
     """
     src = hidden if kv_hidden is None else kv_hidden
+    cross_cached = cache is not None and cache_index is None
 
-    q = split_heads(dense(hidden, params["q_kernel"], params["q_bias"], dtype), num_heads)
+    if kv_hidden is None and not cross_cached:
+        # pure self-attention: one fused QKV matmul instead of three. The
+        # kernel/bias concats are loop-invariant, so XLA hoists them out of
+        # decode/scan loops; at decode's tiny per-step matmul sizes this
+        # trades 3 dispatch-bound MXU ops for 1.
+        qkv_kernel = jnp.concatenate(
+            [params["q_kernel"], params["k_kernel"], params["v_kernel"]], axis=1)
+        qkv_bias = jnp.concatenate(
+            [params["q_bias"], params["k_bias"], params["v_bias"]])
+        q_flat, k_flat, v_flat = jnp.split(
+            dense(hidden, qkv_kernel, qkv_bias, dtype), 3, axis=-1)
+        q = split_heads(q_flat, num_heads)
+    else:
+        q = split_heads(dense(hidden, params["q_kernel"], params["q_bias"], dtype), num_heads)
+        k_flat = v_flat = None
 
-    if cache is not None and cache_index is None:
+    if cross_cached:
         # cross-attention decode path: K/V precomputed once from encoder
         # output. The cache batch may be a *divisor* of the query batch
         # (beam search: all K beams of a sample attend the same encoder
@@ -112,8 +127,9 @@ def multi_head_attention(
                         params["o_bias"], dtype)
             return out, new_cache
     else:
-        k_flat = dense(src, params["k_kernel"], params["k_bias"], dtype)
-        v_flat = dense(src, params["v_kernel"], params["v_bias"], dtype)
+        if k_flat is None:
+            k_flat = dense(src, params["k_kernel"], params["k_bias"], dtype)
+            v_flat = dense(src, params["v_kernel"], params["v_bias"], dtype)
         if cache is not None:
             # incremental self-attention: write the new rows at cache_index
             k_flat = jax.lax.dynamic_update_slice(
