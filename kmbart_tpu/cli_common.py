@@ -61,6 +61,11 @@ def add_hardware_args(parser):
                              'jax.distributed.initialize() and shard data '
                              'loading by process (replaces the reference\'s '
                              'NCCL rendezvous, src/utils.py:9-13)')
+    parser.add_argument('--sharded_checkpoints', action='store_true',
+                        help='save checkpoints as orbax sharded state (each '
+                             'process writes only its own shards; required '
+                             'for models that do not fit one host). Default '
+                             'is the portable npz format.')
 
 
 def setup_platform(args):
@@ -97,9 +102,58 @@ def load_model_config(args):
     return apply_dropout_overrides(cfg, args)
 
 
+def sharded_state_dir(path):
+    return os.path.join(path, "sharded_state") if path else None
+
+
+def save_train_checkpoint(path, cfg, state, epoch, args):
+    """Per-epoch/step train checkpoint.
+
+    Default: the reference-style portable directory (config.json +
+    params.npz + training_data.npz, checkpoint/io.py). With
+    ``--sharded_checkpoints``: config.json + an orbax sharded state dir —
+    every process writes only the shards it owns, so saving a TP/DP-sharded
+    pod state never gathers to one host (checkpoint/sharded.py)."""
+    from kmbart_tpu.checkpoint.io import save_pretrained, save_training_data
+    if getattr(args, "sharded_checkpoints", False):
+        import numpy as _np
+        from kmbart_tpu.checkpoint.sharded import save_sharded
+        os.makedirs(path, exist_ok=True)
+        if cfg is not None:
+            cfg.save_json(os.path.join(path, "config.json"))
+        save_sharded(sharded_state_dir(path),
+                     {"state": state, "epoch": _np.asarray(epoch)})
+        return
+    save_pretrained(path, cfg, state.params)
+    save_training_data(path, opt_state=state.opt_state, epoch=epoch,
+                       step=int(state.step))
+
+
+def load_sharded_train_checkpoint(args, state_template):
+    """Resume from a --sharded_checkpoints directory if ``args.checkpoint``
+    holds one. Returns (state, saved_epoch) or None."""
+    p = sharded_state_dir(getattr(args, "checkpoint", None))
+    if not (p and os.path.isdir(p)):
+        return None
+    import numpy as _np
+    from kmbart_tpu.checkpoint.sharded import load_sharded
+    host_template = jax.tree_util.tree_map(_np.asarray, state_template)
+    out = load_sharded(p, {"state": host_template, "epoch": _np.asarray(0)})
+    return out["state"], int(out["epoch"])
+
+
 def build_model_params(args, cfg, init_fn, logger=None):
-    """Init params, then overlay checkpoint weights (partial-load aware)."""
+    """Init params, then overlay checkpoint weights (partial-load aware).
+    A sharded checkpoint dir defers to load_sharded_train_checkpoint (the
+    whole TrainState, params included, restores from the orbax shards)."""
     from kmbart_tpu.checkpoint.io import load_pretrained
+    sh = sharded_state_dir(getattr(args, "checkpoint", None))
+    if sh and os.path.isdir(sh):
+        if logger is not None:
+            logger.info("Deferring weight load to the sharded checkpoint "
+                        'at "{}"'.format(sh))
+        import jax as _jax
+        return init_fn(_jax.random.PRNGKey(args.seed), cfg)
     if args.checkpoint:
         _, params, report = load_pretrained(args.checkpoint, init_fn,
                                             config=cfg, strict=False)

@@ -17,9 +17,9 @@ import numpy as np
 
 from kmbart_tpu.cli_common import (
     add_common_model_args, add_dropout_args, add_hardware_args,
-    build_model_params, load_model_config, make_mesh_from_args, setup_platform)
-from kmbart_tpu.checkpoint.io import (
-    load_training_data, save_pretrained, save_training_data)
+    build_model_params, load_model_config, load_sharded_train_checkpoint,
+    make_mesh_from_args, save_train_checkpoint, setup_platform)
+from kmbart_tpu.checkpoint.io import load_training_data
 from kmbart_tpu.data.collation import Collator
 from kmbart_tpu.data.datasets import (
     CCDataset, COCODataset, ConcatDataset, ReasonDataset, SBUDataset,
@@ -158,9 +158,7 @@ def main(args):
         if args.save_every_steps and (step + 1) % args.save_every_steps == 0:
             path = os.path.join(checkpoint_path,
                                 'step{}'.format(int(state.step)))
-            save_pretrained(path, cfg, state.params)
-            save_training_data(path, opt_state=state.opt_state, epoch=epoch,
-                               step=int(state.step))
+            save_train_checkpoint(path, cfg, state, epoch, args)
             logger.info('Saved mid-epoch checkpoint at "{}"'.format(path))
         if logger is not None and step % 100 == 0:
             from kmbart_tpu.models.pretraining import MultiModalBartForPreTraining
@@ -192,9 +190,7 @@ def main(args):
                              callback=callback, log_interval=1,
                              tb_writer=tb_writer, tb_interval=1)
         current = os.path.join(checkpoint_path, 'model{}'.format(epoch))
-        save_pretrained(current, cfg, state.params)
-        save_training_data(current, opt_state=state.opt_state, epoch=epoch,
-                           step=int(state.step))
+        save_train_checkpoint(current, cfg, state, epoch, args)
         logger.info('Saved checkpoint at "{}"'.format(checkpoint_path))
         epoch += 1
 

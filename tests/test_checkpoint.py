@@ -71,3 +71,38 @@ def test_torch_export_roundtrip(tiny_cfg, tmp_path):
     assert cfg2.d_model == cfg.d_model
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_sharded_checkpoint_roundtrip(tmp_path, tiny_cfg):
+    """Orbax sharded save/restore over a DP4 x TP2 mesh: values and
+    shardings must round-trip without host gathering."""
+    import jax
+    from kmbart_tpu.checkpoint.sharded import load_sharded, save_sharded
+    from kmbart_tpu.models.pretraining import init_pretraining_params
+    from kmbart_tpu.parallel.mesh import make_mesh
+    from kmbart_tpu.parallel.tp import shard_train_state
+    from kmbart_tpu.training.state import TrainState
+
+    params = init_pretraining_params(jax.random.PRNGKey(0), tiny_cfg)
+    state = TrainState.create(params)
+    mesh = make_mesh(model_parallel=2)
+    sharded = shard_train_state(mesh, state)
+
+    path = str(tmp_path / "ckpt")
+    save_sharded(path, sharded)
+    restored = load_sharded(path, sharded)
+
+    flat_a = jax.tree_util.tree_leaves(sharded)
+    flat_b = jax.tree_util.tree_leaves(restored)
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        if isinstance(a, jax.Array):
+            assert b.sharding.is_equivalent_to(a.sharding, a.ndim), (
+                a.sharding, b.sharding)
+
+    # restore into a *different* layout: fully replicated
+    repl = jax.tree_util.tree_map(lambda x: np.asarray(x), sharded)
+    restored_host = load_sharded(path, repl)
+    for a, b in zip(flat_a, jax.tree_util.tree_leaves(restored_host)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -97,3 +97,32 @@ def test_pretrain_arg_validation(fixture_dir):
                          "--dataset", "coco_train", "y",
                          "--checkpoint_dir", "/tmp/x",
                          "--model_config", os.path.join(fixture_dir, "config.json")])
+
+
+def test_vcg_train_sharded_checkpoint_resume(fixture_dir, tmp_path):
+    """--sharded_checkpoints over the DP4 x TP2 mesh: epoch checkpoint is an
+    orbax sharded dir; --continue_training restores state and epoch."""
+    import glob
+
+    import vcg_train
+
+    ckpt_dir = str(tmp_path / "ckpt_sharded")
+    base = [
+        "--data_dir", os.path.join(fixture_dir, "vcg"),
+        "--checkpoint_dir", ckpt_dir,
+        "--model_config", os.path.join(fixture_dir, "config.json"),
+        "--tokenizer_dir", os.path.join(fixture_dir, "tokenizer"),
+        "--batch_size", "8", "--lr", "1e-3", "--max_length", "10",
+        "--model_parallel", "2", "--sharded_checkpoints"]
+    vcg_train.main(_args(vcg_train, base + ["--epochs", "1"]))
+
+    saved = glob.glob(os.path.join(ckpt_dir, "*", "model0"))
+    assert saved, "no epoch checkpoint written"
+    assert os.path.isdir(os.path.join(saved[0], "sharded_state"))
+    assert os.path.exists(os.path.join(saved[0], "config.json"))
+    assert not os.path.exists(os.path.join(saved[0], "params.npz"))
+
+    vcg_train.main(_args(vcg_train, base + [
+        "--epochs", "2", "--continue_training", "--checkpoint", saved[0]]))
+    resumed = glob.glob(os.path.join(ckpt_dir, "*", "model1"))
+    assert resumed, "resume did not advance to epoch 1"

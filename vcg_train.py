@@ -17,9 +17,9 @@ import numpy as np
 
 from kmbart_tpu.cli_common import (
     add_common_model_args, add_dropout_args, add_hardware_args,
-    build_model_params, load_model_config, make_mesh_from_args, setup_platform)
-from kmbart_tpu.checkpoint.io import (
-    load_training_data, save_pretrained, save_training_data)
+    build_model_params, load_model_config, load_sharded_train_checkpoint,
+    make_mesh_from_args, save_train_checkpoint, setup_platform)
+from kmbart_tpu.checkpoint.io import load_training_data
 from kmbart_tpu.data.collation import Collator
 from kmbart_tpu.data.datasets import VCGDataset
 from kmbart_tpu.data.loader import DataLoader, ShardedSampler
@@ -64,12 +64,17 @@ def main(args):
 
     epoch = 0
     if args.continue_training:
-        td = load_training_data(args.checkpoint,
-                                opt_state_template=state.opt_state)
-        epoch = td['epoch'] + 1
-        if td['opt_state'] is not None:
-            state = state._replace(opt_state=td['opt_state'],
-                                   step=np.int32(td['step'] or 0))
+        sh = load_sharded_train_checkpoint(args, state)
+        if sh is not None:
+            state, saved_epoch = sh
+            epoch = saved_epoch + 1
+        else:
+            td = load_training_data(args.checkpoint,
+                                    opt_state_template=state.opt_state)
+            epoch = td['epoch'] + 1
+            if td['opt_state'] is not None:
+                state = state._replace(opt_state=td['opt_state'],
+                                       step=np.int32(td['step'] or 0))
 
     mesh = make_mesh_from_args(args) if len(jax.devices()) > 1 else None
     n_data = mesh.shape['data'] if mesh is not None else 1
@@ -131,9 +136,7 @@ def main(args):
         if args.save_every_steps and (step + 1) % args.save_every_steps == 0:
             path = os.path.join(checkpoint_path,
                                 'step{}'.format(int(state.step)))
-            save_pretrained(path, cfg, state.params)
-            save_training_data(path, opt_state=state.opt_state, epoch=epoch,
-                               step=int(state.step))
+            save_train_checkpoint(path, cfg, state, epoch, args)
             logger.info('Saved mid-epoch checkpoint at "{}"'.format(path))
         if logger is not None and (step + 1) % 100 == 0:
             inputs = collate_fn([train_dataset[0]])
@@ -171,9 +174,7 @@ def main(args):
                                       tb_writer=tb_writer)
 
         current = os.path.join(checkpoint_path, 'model{}'.format(epoch))
-        save_pretrained(current, cfg, state.params)
-        save_training_data(current, opt_state=state.opt_state, epoch=epoch,
-                           step=int(state.step))
+        save_train_checkpoint(current, cfg, state, epoch, args)
         logger.info('Saved checkpoint at "{}"'.format(checkpoint_path))
         epoch += 1
 
