@@ -116,6 +116,10 @@ def main(args):
 
     mesh = make_mesh_from_args(args) if len(jax.devices()) > 1 else None
     n_data = mesh.shape['data'] if mesh is not None else 1
+    batch_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        batch_sharding = NamedSharding(mesh, PartitionSpec('data'))
 
     logger.info('Loading data...')
     collate_fn = Collator(
@@ -188,7 +192,8 @@ def main(args):
         state, _ = run_epoch(epoch, state, train_step, train_loader, rng,
                              epochs=args.epochs, logger=logger,
                              callback=callback, log_interval=1,
-                             tb_writer=tb_writer, tb_interval=1)
+                             tb_writer=tb_writer, tb_interval=1,
+                             batch_sharding=batch_sharding)
         current = os.path.join(checkpoint_path, 'model{}'.format(epoch))
         save_train_checkpoint(current, cfg, state, epoch, args)
         logger.info('Saved checkpoint at "{}"'.format(checkpoint_path))

@@ -78,6 +78,10 @@ def main(args):
 
     mesh = make_mesh_from_args(args) if len(jax.devices()) > 1 else None
     n_data = mesh.shape['data'] if mesh is not None else 1
+    batch_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        batch_sharding = NamedSharding(mesh, PartitionSpec('data'))
 
     logger.info('Loading data...')
     collate_fn = Collator(tokenizer, has_label=True,
@@ -162,7 +166,8 @@ def main(args):
         state, _ = run_epoch(epoch, state, train_step, train_loader, rng,
                              epochs=args.epochs, logger=logger,
                              callback=callback, log_interval=1,
-                             tb_writer=tb_writer, tb_interval=1)
+                             tb_writer=tb_writer, tb_interval=1,
+                             batch_sharding=batch_sharding)
 
         logger.info('Validating Epoch {}'.format(epoch + 1), pad=True)
         if args.validate_loss:
