@@ -18,7 +18,10 @@ def generate_text(params, cfg, gen_loader, tokenizer, args, *, logger=None,
     start_time = datetime.now()
     num_gen = getattr(args, "num_gen", 1)
 
-    for i, batch in enumerate(gen_loader):
+    from kmbart_tpu.training.trainer import prefetch_to_device
+    batches = prefetch_to_device(gen_loader, inputs_only=False)
+
+    for i, batch in enumerate(batches):
         outputs = generate(
             params, cfg,
             {"input_ids": batch["input_ids"],

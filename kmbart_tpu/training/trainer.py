@@ -20,14 +20,20 @@ import jax
 from kmbart_tpu.parallel.mesh import device_arrays
 
 
-def prefetch_to_device(loader, sharding=None, depth=4):
+def prefetch_to_device(loader, sharding=None, depth=4, inputs_only=True):
     """Collate + host->device staging in a background thread, ``depth``
     batches ahead. JAX dispatch is async, so the transfer of batch t+1
     overlaps the device compute of batch t (double buffering) — without
     this, every step pays the full host->device latency serially (the
     reference's DataLoader(pin_memory) + .cuda() has the same overlap
     job on GPU). ``sharding`` places batches directly onto a mesh
-    (NamedSharding) so pjit needs no resharding copy."""
+    (NamedSharding) so pjit needs no resharding copy.
+
+    ``inputs_only``: keep only the model-input arrays (device_arrays
+    filtering — the jitted train step cannot take string metadata). With
+    False, array leaves are staged and non-array metadata (index lists,
+    raw label strings) rides along on host — the generation drivers need
+    both."""
     q = queue.Queue(maxsize=depth)
     stop = object()
     errs = []
@@ -38,7 +44,11 @@ def prefetch_to_device(loader, sharding=None, depth=4):
     else:
         replicated = None
 
+    import numpy as np
+
     def place_leaf(x):
+        if not isinstance(x, (np.ndarray, jax.Array)):
+            return x
         if sharding is None:
             return jax.device_put(x)
         # batch-major arrays shard on 'data'; rank-0 leaves replicate
@@ -46,9 +56,8 @@ def prefetch_to_device(loader, sharding=None, depth=4):
                               else replicated)
 
     def place(b):
-        # device_arrays drops non-array metadata (e.g. raw label strings)
-        # exactly like the non-prefetch path does
-        return jax.tree.map(place_leaf, device_arrays(b))
+        return jax.tree.map(place_leaf,
+                            device_arrays(b) if inputs_only else b)
 
     def worker():
         try:
