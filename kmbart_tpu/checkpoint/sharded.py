@@ -27,16 +27,46 @@ def _checkpointer():
     return ocp.Checkpointer(ocp.StandardCheckpointHandler())
 
 
-def save_sharded(path, tree):
+_ASYNC = None
+
+
+def _async_checkpointer():
+    global _ASYNC
+    if _ASYNC is None:
+        import atexit
+
+        import orbax.checkpoint as ocp
+        _ASYNC = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+        atexit.register(_ASYNC.wait_until_finished)
+    return _ASYNC
+
+
+def save_sharded(path, tree, block=True):
     """Save a (possibly sharded-jax.Array) pytree to ``path`` (a directory).
 
     Every leaf keeps its sharding metadata; each process writes only its
     own shards. Overwrites an existing checkpoint at ``path``.
+
+    ``block=False`` returns as soon as the device->host snapshot is taken
+    and writes in the background (orbax AsyncCheckpointer) — training
+    resumes while the filesystem I/O drains. A still-running previous
+    async save is finished first, and an atexit hook drains the last one.
     """
     path = os.path.abspath(path)
-    ckpt = _checkpointer()
+    if block:
+        ckpt = _checkpointer()
+        ckpt.save(path, tree, force=True)
+        ckpt.close()
+        return
+    ckpt = _async_checkpointer()
+    ckpt.wait_until_finished()
     ckpt.save(path, tree, force=True)
-    ckpt.close()
+
+
+def wait_for_async_saves():
+    """Block until any in-flight ``save_sharded(block=False)`` finishes."""
+    if _ASYNC is not None:
+        _ASYNC.wait_until_finished()
 
 
 def load_sharded(path, template):

@@ -121,8 +121,12 @@ def save_train_checkpoint(path, cfg, state, epoch, args):
         os.makedirs(path, exist_ok=True)
         if cfg is not None:
             cfg.save_json(os.path.join(path, "config.json"))
+        # non-blocking: the device->host snapshot is taken before this
+        # returns; filesystem writes drain in the background while training
+        # continues (an atexit hook and any subsequent load wait for them)
         save_sharded(sharded_state_dir(path),
-                     {"state": state, "epoch": _np.asarray(epoch)})
+                     {"state": state, "epoch": _np.asarray(epoch)},
+                     block=False)
         return
     save_pretrained(path, cfg, state.params)
     save_training_data(path, opt_state=state.opt_state, epoch=epoch,
@@ -136,7 +140,9 @@ def load_sharded_train_checkpoint(args, state_template):
     if not (p and os.path.isdir(p)):
         return None
     import numpy as _np
-    from kmbart_tpu.checkpoint.sharded import load_sharded
+    from kmbart_tpu.checkpoint.sharded import (
+        load_sharded, wait_for_async_saves)
+    wait_for_async_saves()
     host_template = jax.tree_util.tree_map(_np.asarray, state_template)
     out = load_sharded(p, {"state": host_template, "epoch": _np.asarray(0)})
     return out["state"], int(out["epoch"])

@@ -106,3 +106,28 @@ def test_sharded_checkpoint_roundtrip(tmp_path, tiny_cfg):
     restored_host = load_sharded(path, repl)
     for a, b in zip(flat_a, jax.tree_util.tree_leaves(restored_host)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sharded_checkpoint_async(tmp_path, tiny_cfg):
+    """block=False save: returns immediately, drains on wait, loads equal —
+    and mutating params after the call must not corrupt the snapshot."""
+    import jax
+    import jax.numpy as jnp
+    from kmbart_tpu.checkpoint.sharded import (
+        load_sharded, save_sharded, wait_for_async_saves)
+    from kmbart_tpu.models.pretraining import init_pretraining_params
+
+    params = init_pretraining_params(jax.random.PRNGKey(0), tiny_cfg)
+    params = jax.device_put(params)
+    snapshot = jax.tree_util.tree_map(np.asarray, params)
+
+    path = str(tmp_path / "async_ckpt")
+    save_sharded(path, params, block=False)
+    # overwrite the live arrays after save() returned (donation pattern)
+    params = jax.tree_util.tree_map(lambda x: x + 1.0, params)
+    wait_for_async_saves()
+
+    restored = load_sharded(path, snapshot)
+    for a, b in zip(jax.tree_util.tree_leaves(snapshot),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

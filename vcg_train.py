@@ -183,6 +183,8 @@ def main(args):
         logger.info('Saved checkpoint at "{}"'.format(checkpoint_path))
         epoch += 1
 
+    from kmbart_tpu.checkpoint.sharded import wait_for_async_saves
+    wait_for_async_saves()  # final checkpoint must be durable before exit
     logger.info('Training complete in: ' + str(datetime.now() - start), pad=True)
 
 
