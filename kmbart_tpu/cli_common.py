@@ -61,6 +61,13 @@ def add_hardware_args(parser):
                              'jax.distributed.initialize() and shard data '
                              'loading by process (replaces the reference\'s '
                              'NCCL rendezvous, src/utils.py:9-13)')
+    parser.add_argument('--grad_accum_steps', default=1, type=int,
+                        help='split each batch into this many micro-batches '
+                             'and accumulate gradients before the optimizer '
+                             'update (peak activation memory = micro-batch '
+                             'size). batch_size must be divisible by it, '
+                             'and by model-parallel data shards after the '
+                             'split.')
     parser.add_argument('--sharded_checkpoints', action='store_true',
                         help='save checkpoints as orbax sharded state (each '
                              'process writes only its own shards; required '

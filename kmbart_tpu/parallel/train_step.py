@@ -21,7 +21,7 @@ from kmbart_tpu.training.state import TrainState
 
 
 def build_train_step(loss_fn, optimizer, mesh=None, param_specs=None,
-                     donate=True, skip_nonfinite=True):
+                     donate=True, skip_nonfinite=True, grad_accum_steps=1):
     """loss_fn(params, batch, rng) -> (loss, metrics_dict_of_scalars).
 
     Returns jitted step(state, batch, rng) -> (state, metrics).
@@ -30,15 +30,46 @@ def build_train_step(loss_fn, optimizer, mesh=None, param_specs=None,
     the reference): when the loss or any gradient is non-finite the update
     is dropped (params/opt state keep their previous values) and
     ``metrics["skipped"]`` is 1 — one bad batch cannot poison the run.
+
+    ``grad_accum_steps``: split the batch into G micro-batches along dim 0
+    and lax.scan the forward/backward, averaging gradients before the one
+    optimizer update — peak activation memory drops to the micro-batch
+    size, so effective batches far beyond HBM fit (no reference
+    counterpart: the reference is activation-bound by its per-GPU batch).
+    Each micro-batch gets a distinct dropout rng. Gradients equal the mean
+    of per-micro-batch gradients (standard accumulation semantics; exact
+    full-batch equality only when the loss is a plain mean).
     """
+
+    def grads_and_metrics(params, batch, rng):
+        if grad_accum_steps == 1:
+            (loss, metrics), grads = jax.value_and_grad(
+                lambda p: loss_fn(p, batch, rng), has_aux=True)(params)
+            return loss, metrics, grads
+
+        G = grad_accum_steps
+        micro = jax.tree.map(
+            lambda x: x.reshape((G, x.shape[0] // G) + x.shape[1:]), batch)
+
+        def body(acc, inp):
+            i, mb = inp
+            (loss, metrics), grads = jax.value_and_grad(
+                lambda p: loss_fn(p, mb, jax.random.fold_in(rng, i)),
+                has_aux=True)(params)
+            g_sum, l_sum = acc
+            g_sum = jax.tree.map(jnp.add, g_sum, grads)
+            return (g_sum, l_sum + loss), metrics
+
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        (g_sum, l_sum), metrics = jax.lax.scan(
+            body, (zeros, 0.0), (jnp.arange(G), micro))
+        grads = jax.tree.map(lambda g: g / G, g_sum)
+        metrics = jax.tree.map(jnp.mean, metrics)
+        return l_sum / G, metrics, grads
 
     def step(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
-
-        def lf(params):
-            return loss_fn(params, batch, rng)
-
-        (loss, metrics), grads = jax.value_and_grad(lf, has_aux=True)(state.params)
+        loss, metrics, grads = grads_and_metrics(state.params, batch, rng)
         new_params, new_opt = optimizer.update(grads, state.opt_state,
                                                state.params)
         metrics = dict(metrics)

@@ -247,3 +247,97 @@ def test_sharded_generation_8dev(tiny_cfg, np_rng):
     out = generate(params, cfg, sharded_batch, max_length=8, num_beams=2,
                    early_stopping=True)
     np.testing.assert_array_equal(ref, out)
+
+
+def test_grad_accumulation_matches_mean_of_micro_grads(tiny_cfg, np_rng):
+    """grad_accum_steps=2 must apply AdamW to the mean of the two
+    micro-batch gradients, with per-micro dropout rngs disabled."""
+    import jax
+    import jax.numpy as jnp
+    from kmbart_tpu.models.conditional import (
+        conditional_loss, init_conditional_params)
+    from kmbart_tpu.parallel.train_step import build_train_step
+    from kmbart_tpu.training.adamw import adamw
+    from kmbart_tpu.training.state import TrainState
+
+    cfg = tiny_cfg
+    params = init_conditional_params(jax.random.PRNGKey(0), cfg)
+    B, S, T = 8, 10, 6
+    ids = np_rng.integers(4, 80, (B, S)).astype(np.int32)
+    dec = np_rng.integers(4, 80, (B, T)).astype(np.int32)
+    batch = {"input_ids": ids, "attention_mask": np.ones((B, S), np.int32),
+             "decoder_input_ids": dec,
+             "decoder_attention_mask": np.ones((B, T), np.int32),
+             "labels": dec.copy()}
+
+    def loss_fn(p, b, rng):
+        loss, _ = conditional_loss(p, cfg, b, train=False)  # no dropout
+        return loss, {}
+
+    opt = adamw(lr=1e-3)
+    step_acc = build_train_step(loss_fn, opt, donate=False,
+                                grad_accum_steps=2)
+    state = TrainState.create(params)
+    new_acc, m_acc = step_acc(state, batch, jax.random.PRNGKey(1))
+
+    # manual: mean of the two half-batch grads, one AdamW update
+    rng0 = jax.random.fold_in(jax.random.PRNGKey(1), state.step)
+    halves = [
+        {k: v[:4] for k, v in batch.items()},
+        {k: v[4:] for k, v in batch.items()},
+    ]
+    g_sum = None
+    l_sum = 0.0
+    for h in halves:
+        (l, _), g = jax.value_and_grad(
+            lambda p: loss_fn(p, h, None), has_aux=True)(state.params)
+        l_sum += l
+        g_sum = g if g_sum is None else jax.tree.map(jnp.add, g_sum, g)
+    grads = jax.tree.map(lambda x: x / 2, g_sum)
+    ref_params, _ = opt.update(grads, state.opt_state, state.params)
+
+    np.testing.assert_allclose(float(m_acc["loss"]), float(l_sum / 2),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(new_acc.params),
+                    jax.tree_util.tree_leaves(ref_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+
+
+def test_grad_accumulation_under_mesh(tiny_cfg, np_rng):
+    """Accumulated step compiles and matches the single-device accumulated
+    step on the 8-device mesh (micro-batches stay data-sharded)."""
+    import jax
+    from kmbart_tpu.models.conditional import (
+        conditional_loss, init_conditional_params)
+    from kmbart_tpu.parallel.mesh import make_mesh
+    from kmbart_tpu.parallel.train_step import build_train_step
+    from kmbart_tpu.training.adamw import adamw
+    from kmbart_tpu.training.state import TrainState
+
+    cfg = tiny_cfg
+    params = init_conditional_params(jax.random.PRNGKey(0), cfg)
+    B, S, T = 32, 10, 6
+    ids = np_rng.integers(4, 80, (B, S)).astype(np.int32)
+    dec = np_rng.integers(4, 80, (B, T)).astype(np.int32)
+    batch = {"input_ids": ids, "attention_mask": np.ones((B, S), np.int32),
+             "decoder_input_ids": dec,
+             "decoder_attention_mask": np.ones((B, T), np.int32),
+             "labels": dec.copy()}
+
+    def loss_fn(p, b, rng):
+        loss, _ = conditional_loss(p, cfg, b, train=False)
+        return loss, {}
+
+    opt = adamw(lr=1e-3)
+    rng = jax.random.PRNGKey(1)
+    single = build_train_step(loss_fn, opt, donate=False, grad_accum_steps=2)
+    sa, ma = single(TrainState.create(params), batch, rng)
+    mesh = make_mesh(model_parallel=1)
+    sharded = build_train_step(loss_fn, opt, mesh=mesh, donate=False,
+                               grad_accum_steps=2)
+    sb, mb = sharded(TrainState.create(params), batch, rng)
+    np.testing.assert_allclose(float(ma["loss"]), float(mb["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(sa.params), jax.tree.leaves(sb.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)

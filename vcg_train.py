@@ -128,7 +128,8 @@ def main(args):
         param_specs = train_state_shardings(mesh, state.params)
         state = shard_train_state(mesh, state)
     train_step = build_train_step(loss_fn, optimizer, mesh=mesh,
-                                  param_specs=param_specs)
+                                  param_specs=param_specs,
+                                  grad_accum_steps=args.grad_accum_steps)
 
     def eval_loss_fn(p, b, rng):
         loss, _ = conditional_loss(p, cfg, b, train=False)
