@@ -50,6 +50,10 @@ def make_handler(engine):
                     gens = [engine.generate_text(t) for t in texts]
                     self._send(200, {"generations": gens})
                     return
+                if "input_ids" not in req:
+                    raise ValueError(
+                        'request must contain "text", "texts", or '
+                        f'"input_ids"; got keys {sorted(req)}')
                 ids = np.asarray(req["input_ids"], np.int32)
                 feats = (np.asarray(req["image_features"], np.float32)
                          if req.get("image_features") is not None else None)
