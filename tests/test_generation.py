@@ -139,14 +139,13 @@ def test_top_p_keeps_first_above_threshold():
     assert np.isinf(filtered[0, 2:]).all()
 
 
-def test_greedy_parity_with_hf(setup):
-    """Greedy continuation matches transformers with forcing disabled
-    (3.0.2's no-beam path applies no forced BOS/EOS)."""
-    torch = pytest.importorskip("torch")
+def _hf_twin(cfg, params, *, forced_bos=None, forced_eos=None):
+    """Build a transformers BartForConditionalGeneration carrying exactly
+    our parameters (text path only — no image embedding)."""
+    import torch
     import transformers
     from kmbart_tpu.checkpoint.torch_import import pytree_to_state_dict
 
-    cfg, params, batch = setup
     sd = pytree_to_state_dict(params, cfg)
     hf_cfg = transformers.BartConfig(
         vocab_size=cfg.vocab_size, d_model=cfg.d_model,
@@ -159,13 +158,22 @@ def test_greedy_parity_with_hf(setup):
         pad_token_id=cfg.pad_token_id, bos_token_id=cfg.bos_token_id,
         eos_token_id=cfg.eos_token_id,
         decoder_start_token_id=cfg.decoder_start_token_id,
-        forced_bos_token_id=None, forced_eos_token_id=None)
+        forced_bos_token_id=forced_bos, forced_eos_token_id=forced_eos)
     hf = transformers.BartForConditionalGeneration(hf_cfg).eval()
     hf_sd = {k: torch.tensor(np.asarray(v, np.float32)) for k, v in sd.items()
              if "embed_images" not in k}
     hf_sd["lm_head.weight"] = hf_sd["model.shared.weight"]
     hf.load_state_dict(hf_sd, strict=True)
+    return hf
 
+
+def test_greedy_parity_with_hf(setup):
+    """Greedy continuation matches transformers with forcing disabled
+    (3.0.2's no-beam path applies no forced BOS/EOS)."""
+    torch = pytest.importorskip("torch")
+
+    cfg, params, batch = setup
+    hf = _hf_twin(cfg, params)
     max_length = 12
     with torch.no_grad():
         ref = hf.generate(
@@ -176,6 +184,45 @@ def test_greedy_parity_with_hf(setup):
     ours = generate(params, cfg, batch, max_length=max_length)
     n = min(ref.shape[1], ours.shape[1])
     np.testing.assert_array_equal(ours[:, :n], ref[:, :n])
+
+
+@pytest.mark.parametrize("kwargs", [
+    dict(num_beams=5, early_stopping=True),
+    dict(num_beams=5, early_stopping=False),
+    dict(num_beams=5, early_stopping=True, length_penalty=0.7),
+    dict(num_beams=5, early_stopping=False, length_penalty=0.7),
+    dict(num_beams=5, early_stopping=True, length_penalty=2.0),
+    dict(num_beams=5, early_stopping=False, length_penalty=2.0),
+    dict(num_beams=4, early_stopping=True, no_repeat_ngram_size=2),
+    dict(num_beams=5, early_stopping=True, num_return_sequences=3),
+    dict(num_beams=5, early_stopping=False, num_return_sequences=3),
+],
+    ids=["es", "no-es", "lp0.7-es", "lp0.7", "lp2-es", "lp2",
+         "ngram2", "nrs3-es", "nrs3"])
+def test_beam_parity_with_hf(setup, kwargs):
+    """Token-for-token beam-search parity vs transformers, with the 3.0.2
+    BART forcing (forced BOS at step 1, forced EOS at max_length-1)
+    expressed via forced_bos/forced_eos ids (ref: src/model/mixins.py beam
+    path inherited from transformers 3.0.2 _generate_beam_search)."""
+    torch = pytest.importorskip("torch")
+
+    cfg, params, batch = setup
+    hf = _hf_twin(cfg, params, forced_bos=cfg.bos_token_id,
+                  forced_eos=cfg.eos_token_id)
+    max_length = 14
+    with torch.no_grad():
+        ref = hf.generate(
+            input_ids=torch.tensor(batch["input_ids"].astype(np.int64)),
+            attention_mask=torch.tensor(batch["attention_mask"].astype(np.int64)),
+            max_length=max_length, do_sample=False, min_length=0,
+            **kwargs).numpy()
+    ours = np.asarray(generate(params, cfg, batch, max_length=max_length,
+                               **kwargs))
+    # HF trims trailing all-pad columns; pad ref back out to max_length
+    if ref.shape[1] < max_length:
+        ref = np.pad(ref, ((0, 0), (0, max_length - ref.shape[1])),
+                     constant_values=cfg.pad_token_id)
+    np.testing.assert_array_equal(ours, ref)
 
 
 def test_exact_top_k_matches_lax(np_rng):
