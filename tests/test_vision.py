@@ -149,3 +149,104 @@ def test_class_wise_max_conf_matches_per_class_nms(np_rng):
                                    jnp.asarray(scores[:, c]), 0.4))
         ref = np.maximum(ref, np.where(keep, scores[:, c], 0.0))
     np.testing.assert_allclose(fused, ref, rtol=1e-6)
+
+
+def test_detectron2_import(tmp_path, np_rng):
+    """Fabricate a detectron2/bua-style checkpoint (conv + FrozenBN + RPN +
+    box_predictor names, wrapped under the Checkpointer's 'model' key) and
+    verify the importer covers every pytree leaf and folds BN exactly.
+    Parity target: scripts/feature_extractor.py:24 loading
+    bua-caffe-frcn-r101_with_attributes.pth."""
+    torch = pytest.importorskip("torch")
+    import jax
+    import jax.numpy as jnp
+    from kmbart_tpu.vision import resnet as R
+    from kmbart_tpu.vision.extractor import init_extractor_params
+    from kmbart_tpu.vision.import_weights import load_detector_weights
+
+    params = init_extractor_params(jax.random.PRNGKey(0), num_classes=9,
+                                   num_attributes=5, rpn_channels=32,
+                                   num_anchors=12, depth=50)
+    sd = {}
+
+    def t(*shape, scale=0.05):
+        return torch.tensor(np_rng.normal(size=shape).astype(np.float32) * scale)
+
+    def add_conv(name, o, i, k):
+        sd[name + ".weight"] = t(o, i, k, k)
+
+    def add_bn(name, c):
+        sd[name + ".weight"] = t(c)
+        sd[name + ".bias"] = t(c)
+        sd[name + ".running_mean"] = t(c)
+        sd[name + ".running_var"] = torch.tensor(
+            np.abs(np_rng.normal(size=(c,))).astype(np.float32) + 0.5)
+
+    add_conv("backbone.stem.conv1", 64, 3, 7)
+    add_bn("backbone.stem.conv1.norm", 64)
+    stages = {"backbone.res2": (3, 64, 64, 256),
+              "backbone.res3": (4, 256, 128, 512),
+              "backbone.res4": (6, 512, 256, 1024),
+              "roi_heads.res5": (3, 1024, 512, 2048)}
+    for src, (n, cin, cmid, cout) in stages.items():
+        for b in range(n):
+            ci = cin if b == 0 else cout
+            add_conv(f"{src}.{b}.conv1", cmid, ci, 1)
+            add_bn(f"{src}.{b}.conv1.norm", cmid)
+            add_conv(f"{src}.{b}.conv2", cmid, cmid, 3)
+            add_bn(f"{src}.{b}.conv2.norm", cmid)
+            add_conv(f"{src}.{b}.conv3", cout, cmid, 1)
+            add_bn(f"{src}.{b}.conv3.norm", cout)
+            if b == 0:
+                add_conv(f"{src}.{b}.shortcut", cout, ci, 1)
+                add_bn(f"{src}.{b}.shortcut.norm", cout)
+    rpn = "proposal_generator.rpn_head"
+    add_conv(f"{rpn}.conv", 32, 1024, 3)
+    sd[f"{rpn}.conv.bias"] = t(32)
+    add_conv(f"{rpn}.objectness_logits", 12, 32, 1)
+    sd[f"{rpn}.objectness_logits.bias"] = t(12)
+    add_conv(f"{rpn}.anchor_deltas", 48, 32, 1)
+    sd[f"{rpn}.anchor_deltas.bias"] = t(48)
+    for head, n_out in (("cls_score", 9), ("bbox_pred", 36), ("attr_score", 5)):
+        sd[f"roi_heads.box_predictor.{head}.weight"] = t(n_out, 2048)
+        sd[f"roi_heads.box_predictor.{head}.bias"] = t(n_out)
+
+    path = tmp_path / "det.pth"
+    torch.save({"model": sd}, str(path))
+
+    out, report = load_detector_weights(str(path), params)
+    assert not [r for r in report if "mismatch" in r], report
+
+    # (i) full coverage: every leaf must have been overwritten
+    before, tdef_b = jax.tree.flatten(params)
+    after, tdef_a = jax.tree.flatten(out)
+    assert tdef_b == tdef_a
+    untouched = [i for i, (b, a) in enumerate(zip(before, after))
+                 if np.array_equal(np.asarray(b), np.asarray(a))]
+    assert not untouched, f"{len(untouched)} leaves not overwritten"
+
+    # (ii) folded conv+BN numerically equals torch conv2d + eval batch_norm
+    x = np_rng.normal(size=(1, 9, 9, 3)).astype(np.float32)
+    ours = np.asarray(R.frozen_bn(
+        R.conv(jnp.asarray(x), out["resnet"]["stem"]["conv1"], stride=1,
+               dtype=jnp.float32),
+        out["resnet"]["stem"]["bn1"]))
+    with torch.no_grad():
+        yt = torch.nn.functional.conv2d(
+            torch.tensor(x.transpose(0, 3, 1, 2)),
+            sd["backbone.stem.conv1.weight"], padding=3)
+        yt = torch.nn.functional.batch_norm(
+            yt, sd["backbone.stem.conv1.norm.running_mean"],
+            sd["backbone.stem.conv1.norm.running_var"],
+            sd["backbone.stem.conv1.norm.weight"],
+            sd["backbone.stem.conv1.norm.bias"], training=False, eps=1e-5)
+    np.testing.assert_allclose(ours, yt.numpy().transpose(0, 2, 3, 1),
+                               rtol=2e-4, atol=2e-4)
+
+    # (iii) linear heads transpose to [in, out] and keep their bias
+    np.testing.assert_allclose(
+        np.asarray(out["cls_score"]),
+        sd["roi_heads.box_predictor.cls_score.weight"].numpy().T)
+    np.testing.assert_allclose(
+        np.asarray(out["attr_score_bias"]),
+        sd["roi_heads.box_predictor.attr_score.bias"].numpy())
