@@ -101,13 +101,20 @@ class FeatureExtractor:
     coordinates."""
 
     def __init__(self, params=None, rng=None, num_classes=1601,
+                 num_attributes=401, rpn_channels=512, depth=101,
                  min_boxes=10, max_boxes=50, conf_thresh=0.5,
                  pre_nms_topk=6000, post_nms_topk=300, rpn_min_size=16,
+                 rpn_nms_thresh=0.7, nms_thresh=0.3,
+                 anchor_scales=(4, 8, 16, 32),
+                 bbox_reg_weights=(1.0, 1.0, 1.0, 1.0),
+                 min_size=600, max_size=1000, pixel_mean=None,
                  dtype=jnp.bfloat16):
         if params is None:
             params = init_extractor_params(
                 rng if rng is not None else jax.random.PRNGKey(0),
-                num_classes=num_classes)
+                num_classes=num_classes, num_attributes=num_attributes,
+                rpn_channels=rpn_channels,
+                num_anchors=3 * len(anchor_scales), depth=depth)
         self.params = params
         self.min_boxes = min_boxes
         self.max_boxes = max_boxes
@@ -115,6 +122,14 @@ class FeatureExtractor:
         self.pre_nms_topk = pre_nms_topk
         self.post_nms_topk = post_nms_topk
         self.rpn_min_size = rpn_min_size
+        self.rpn_nms_thresh = rpn_nms_thresh
+        self.nms_thresh = nms_thresh
+        self.anchor_scales = tuple(anchor_scales)
+        self.bbox_reg_weights = tuple(bbox_reg_weights)
+        self.min_size = min_size
+        self.max_size = max_size
+        self.pixel_mean = (PIXEL_MEAN_BGR if pixel_mean is None
+                           else np.asarray(pixel_mean, np.float32))
         self.dtype = dtype
         # jitted entry points (compiled once per padded-blob/ROI-count shape;
         # blobs are padded to 32-divisible sizes like detectron2's
@@ -153,10 +168,10 @@ class FeatureExtractor:
         deltas = resnet.conv(x[None], params["rpn_delta"], dtype=self.dtype)[0] \
             + params["rpn_delta_bias"]
         H, W, A = obj.shape
-        anchors = jnp.asarray(make_anchors(H, W))
+        anchors = jnp.asarray(make_anchors(H, W, scales=self.anchor_scales))
         obj = obj.reshape(-1)
         deltas = deltas.reshape(-1, 4)
-        boxes = apply_deltas(anchors, deltas)
+        boxes = apply_deltas(anchors, deltas, weights=self.bbox_reg_weights)
         boxes = jnp.stack([
             jnp.clip(boxes[:, 0], 0, im_w), jnp.clip(boxes[:, 1], 0, im_h),
             jnp.clip(boxes[:, 2], 0, im_w), jnp.clip(boxes[:, 3], 0, im_h),
@@ -168,7 +183,7 @@ class FeatureExtractor:
         top_scores, top_idx = jax.lax.top_k(obj, k)
         top_boxes = boxes[top_idx]
         # only post_nms_topk survivors matter: cap the greedy iterations
-        keep = nms_mask(top_boxes, top_scores, 0.7,
+        keep = nms_mask(top_boxes, top_scores, self.rpn_nms_thresh,
                         valid=jnp.isfinite(top_scores),
                         max_keep=self.post_nms_topk)
         score_kept = jnp.where(keep, top_scores, -jnp.inf)
@@ -182,7 +197,7 @@ class FeatureExtractor:
         feat = self._backbone(params, blob)
         proposals, valid = self._rpn_proposals(params, feat, im_h, im_w)
         feats, scores = self._roi_features(params, feat, proposals)
-        max_conf = class_wise_max_conf(proposals, scores, 0.3)
+        max_conf = class_wise_max_conf(proposals, scores, self.nms_thresh)
         max_conf = jnp.where(valid, max_conf, 0.0)
         return proposals, feats, scores, max_conf
 
@@ -203,9 +218,30 @@ class FeatureExtractor:
             return self._extract_without_bbox(image)
         return self._extract_with_bbox(image, boxes)
 
+    @classmethod
+    def from_config(cls, path, params=None, rng=None, *, load_weights=True,
+                    dtype=jnp.bfloat16):
+        """Build an extractor from a detectron2-schema YAML
+        (config/extract_config.yaml; ref config/extract_config.yaml via
+        scripts/feature_extractor.py's get_cfg().merge_from_file). Loads
+        MODEL.WEIGHTS when the file exists and ``load_weights`` is set."""
+        import os
+        from kmbart_tpu.vision.config import load_extract_config
+
+        cfg = load_extract_config(path)
+        ex = cls(params=params, rng=rng, dtype=dtype,
+                 **cfg["extractor"], **cfg["input"])
+        weights = cfg.get("weights")
+        if load_weights and weights and os.path.exists(weights):
+            from kmbart_tpu.vision.import_weights import load_detector_weights
+            ex.params, _ = load_detector_weights(weights, ex.params)
+        return ex
+
     def _extract_with_bbox(self, image, boxes):
         """Given-boxes path (scripts/feature_extractor.py:50-73)."""
-        blob, im_scale = get_image_blob(image)
+        blob, im_scale = get_image_blob(image, pixel_mean=self.pixel_mean,
+                                        min_size=self.min_size,
+                                        max_size=self.max_size)
         blob = self._pad32(blob)
         scaled = np.asarray(boxes, np.float32) * im_scale
         feat = self._backbone_j(self.params, jnp.asarray(blob))
@@ -219,7 +255,9 @@ class FeatureExtractor:
 
     def _extract_without_bbox(self, image):
         """Proposal path (scripts/feature_extractor.py:75-116)."""
-        blob, im_scale = get_image_blob(image)
+        blob, im_scale = get_image_blob(image, pixel_mean=self.pixel_mean,
+                                        min_size=self.min_size,
+                                        max_size=self.max_size)
         h, w = blob.shape[:2]
         blob = self._pad32(blob)
         proposals, feats, scores, max_conf = self._proposal_j(

@@ -66,11 +66,23 @@ def download_image(index, url, path, timeout=5):
 
 def build_extractor(args):
     """Construct the TPU FeatureExtractor, loading detector weights when
-    given (replaces DetectionCheckpointer + CUDA model build)."""
+    given (replaces DetectionCheckpointer + CUDA model build). ``--config``
+    takes the reference's detectron2-schema YAML
+    (ref scripts/prepare_vcg.py:89,116-123)."""
     import jax
     from kmbart_tpu.vision.extractor import FeatureExtractor
-    ex = FeatureExtractor(rng=jax.random.PRNGKey(0))
+    config = getattr(args, "config", None)
+    if config:
+        ex = FeatureExtractor.from_config(config, rng=jax.random.PRNGKey(0),
+                                          load_weights=False)
+    else:
+        ex = FeatureExtractor(rng=jax.random.PRNGKey(0))
     weights = getattr(args, "detector_weights", None)
+    if not weights and config:
+        from kmbart_tpu.vision.config import load_extract_config
+        w = load_extract_config(config).get("weights")
+        if w and os.path.exists(w):
+            weights = w
     if weights:
         from kmbart_tpu.vision.import_weights import load_detector_weights
         ex.params, report = load_detector_weights(weights, ex.params)
@@ -106,7 +118,8 @@ def add_shard_args(parser):
     parser.add_argument("--detector_weights", default=None, type=str,
                         help="detector checkpoint (.pth) for the TPU extractor")
     parser.add_argument("--config", default=None, type=str,
-                        help="kept for reference-CLI compatibility")
+                        help="detectron2-schema extractor config YAML "
+                             "(config/extract_config.yaml)")
 
 
 def dump_json(obj, *path):

@@ -250,3 +250,63 @@ def test_detectron2_import(tmp_path, np_rng):
     np.testing.assert_allclose(
         np.asarray(out["attr_score_bias"]),
         sd["roi_heads.box_predictor.attr_score.bias"].numpy())
+
+
+def test_extract_config_yaml_parses_reference_schema():
+    """The shipped config/extract_config.yaml mirrors the reference's
+    detectron2 schema and must map onto extractor settings."""
+    import os
+    from kmbart_tpu.vision.config import load_extract_config
+    path = os.path.join(os.path.dirname(__file__), "..", "config",
+                        "extract_config.yaml")
+    cfg = load_extract_config(path)
+    ex = cfg["extractor"]
+    assert ex["num_classes"] == 1601 and ex["num_attributes"] == 401
+    assert ex["min_boxes"] == 10 and ex["max_boxes"] == 50
+    assert ex["conf_thresh"] == 0.5 and ex["nms_thresh"] == 0.3
+    assert ex["pre_nms_topk"] == 6000 and ex["post_nms_topk"] == 300
+    assert ex["rpn_min_size"] == 16 and ex["depth"] == 101
+    assert ex["anchor_scales"] == (4, 8, 16, 32)
+    assert ex["bbox_reg_weights"] == (1.0, 1.0, 1.0, 1.0)
+    assert cfg["input"]["min_size"] == 600 and cfg["input"]["max_size"] == 1000
+    assert cfg["weights"] == "bua-caffe-frcn-r101_with_attributes.pth"
+
+
+def test_extractor_from_config(tmp_path, np_rng):
+    """from_config propagates YAML settings and the configured pipeline
+    still runs end to end."""
+    from kmbart_tpu.vision.extractor import FeatureExtractor
+    yml = tmp_path / "extract.yaml"
+    yml.write_text("""
+MODEL:
+  BUA:
+    EXTRACTOR:
+      MIN_BOXES: 3
+      MAX_BOXES: 6
+      CONF_THRESH: 0.25
+    ATTRIBUTE:
+      NUM_CLASSES: 5
+  RESNETS:
+    DEPTH: 50
+  RPN:
+    PRE_NMS_TOPK_TEST: 200
+    POST_NMS_TOPK_TEST: 24
+    NMS_THRESH: 0.6
+  ROI_HEADS:
+    NMS_THRESH_TEST: 0.4
+    NUM_CLASSES: 11
+INPUT:
+  MIN_SIZE_TEST: 64
+  MAX_SIZE_TEST: 96
+""")
+    ex = FeatureExtractor.from_config(str(yml), dtype="float32")
+    assert ex.min_boxes == 3 and ex.max_boxes == 6
+    assert ex.conf_thresh == 0.25 and ex.nms_thresh == 0.4
+    assert ex.rpn_nms_thresh == 0.6
+    assert ex.pre_nms_topk == 200 and ex.post_nms_topk == 24
+    assert ex.min_size == 64 and ex.max_size == 96
+    img = np_rng.integers(0, 255, (80, 70, 3)).astype(np.uint8)
+    out = ex.extract_feature(img)
+    n = out["features"].shape[0]
+    assert 3 <= n <= 6
+    assert out["scores"].shape == (n, 11)
