@@ -126,3 +126,75 @@ def test_vcg_train_sharded_checkpoint_resume(fixture_dir, tmp_path):
         "--epochs", "2", "--continue_training", "--checkpoint", saved[0]]))
     resumed = glob.glob(os.path.join(ckpt_dir, "*", "model1"))
     assert resumed, "resume did not advance to epoch 1"
+
+
+def test_hf_checkpoint_user_journey(fixture_dir, tmp_path):
+    """The reference's main interop promise: point the generate CLI at a
+    checkpoint saved by transformers' own save_pretrained (config.json +
+    pytorch_model.bin, partial-load path) and get transformers' greedy
+    output back (ref src/model/mixins.py:458-530)."""
+    torch = pytest.importorskip("torch")
+    import numpy as np
+    import transformers
+    import vcg_generate
+    from kmbart_tpu.data.tokenization import ConditionTokenizer
+    from kmbart_tpu.data.collation import Collator
+    from kmbart_tpu.data.datasets import VCGDataset
+    from kmbart_tpu.data.loader import DataLoader
+
+    tok = ConditionTokenizer(
+        assets_dir=os.path.join(fixture_dir, "tokenizer"))
+    hf_cfg = transformers.BartConfig(
+        vocab_size=len(tok) + 8, d_model=32,
+        encoder_layers=2, decoder_layers=2,
+        encoder_attention_heads=4, decoder_attention_heads=4,
+        encoder_ffn_dim=64, decoder_ffn_dim=64,
+        max_position_embeddings=64, activation_function="gelu",
+        dropout=0.0, attention_dropout=0.0, activation_dropout=0.0,
+        pad_token_id=tok.pad_token_id, bos_token_id=tok.bos_token_id,
+        eos_token_id=tok.eos_token_id,
+        decoder_start_token_id=tok.bos_token_id,
+        forced_bos_token_id=None, forced_eos_token_id=None)
+    hf = transformers.BartForConditionalGeneration(hf_cfg).eval()
+    ckpt = str(tmp_path / "hfckpt")
+    hf.save_pretrained(ckpt, safe_serialization=False)
+
+    out_file = str(tmp_path / "gen.json")
+    args = _args(vcg_generate, [
+        "--data_dir", os.path.join(fixture_dir, "vcg"),
+        "--output_file", out_file,
+        "--checkpoint", ckpt,
+        "--tokenizer_dir", os.path.join(fixture_dir, "tokenizer"),
+        "--num_beams", "1", "--num_gen", "1", "--batch_size", "6",
+        "--max_length", "12", "--cpu"])
+    args.use_image = False  # text-only: exact parity with the HF twin
+    vcg_generate.main(args)
+    gen = json.load(open(out_file))
+    assert len(gen) == 18
+
+    # reproduce the CLI's exact inputs and run transformers greedy on them
+    from kmbart_tpu.config import MultiModalBartConfig
+    cfg = MultiModalBartConfig.from_json(os.path.join(ckpt, "config.json"))
+    collate = Collator(tok, has_label=False, max_img_num=cfg.max_img_num,
+                       image_feature_size=cfg.image_feature_size)
+    dataset = VCGDataset(os.path.join(fixture_dir, "vcg"), split="val",
+                         use_image=False, use_event=True, eval_mode=True)
+    loader = DataLoader(dataset, batch_size=6, collate_fn=collate)
+    pos = 0
+    with torch.no_grad():
+        for batch in loader:
+            ref = hf.generate(
+                input_ids=torch.tensor(
+                    np.asarray(batch["input_ids"], np.int64)),
+                attention_mask=torch.tensor(
+                    np.asarray(batch["attention_mask"], np.int64)),
+                max_length=12, num_beams=1, do_sample=False,
+                min_length=0).numpy()
+            for j in range(len(batch["index"])):
+                want = tok.decode(ref[j], skip_special_tokens=True)
+                got = gen[pos]
+                assert got["index"] == batch["index"][j]
+                assert got["task_type"] == batch["task_type"][j]
+                assert got["generations"] == [want], (pos, got, want)
+                pos += 1
+    assert pos == 18
