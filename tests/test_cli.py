@@ -28,6 +28,7 @@ def fixture_dir(tmp_path_factory):
     return str(d)
 
 
+@pytest.mark.slow
 def test_vcg_train_and_generate_and_eval(fixture_dir, tmp_path):
     import vcg_train
     import vcg_generate
@@ -67,6 +68,7 @@ def test_vcg_train_and_generate_and_eval(fixture_dir, tmp_path):
     vcg_eval.main(args)  # must not raise
 
 
+@pytest.mark.slow
 def test_pretrain_cli(fixture_dir, tmp_path):
     import pretrain
 
@@ -99,6 +101,7 @@ def test_pretrain_arg_validation(fixture_dir):
                          "--model_config", os.path.join(fixture_dir, "config.json")])
 
 
+@pytest.mark.slow
 def test_vcg_train_sharded_checkpoint_resume(fixture_dir, tmp_path):
     """--sharded_checkpoints over the DP4 x TP2 mesh: epoch checkpoint is an
     orbax sharded dir; --continue_training restores state and epoch."""
@@ -128,6 +131,7 @@ def test_vcg_train_sharded_checkpoint_resume(fixture_dir, tmp_path):
     assert resumed, "resume did not advance to epoch 1"
 
 
+@pytest.mark.slow
 def test_hf_checkpoint_user_journey(fixture_dir, tmp_path):
     """The reference's main interop promise: point the generate CLI at a
     checkpoint saved by transformers' own save_pretrained (config.json +

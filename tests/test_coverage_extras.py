@@ -90,6 +90,7 @@ def test_scale_embedding(tiny_cfg, np_rng):
                                tok * math.sqrt(cfg.d_model) + pos, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_continue_training(fixture_dataset, toy_assets, tmp_path):
     """--continue_training restores optimizer state and epoch counter
     (reference pretrain.py:104-110)."""
@@ -125,6 +126,7 @@ def test_continue_training(fixture_dataset, toy_assets, tmp_path):
     assert td["epoch"] == 1
 
 
+@pytest.mark.slow
 def test_vcg_train_no_image_no_event(fixture_dataset, toy_assets, tmp_path):
     """--no_image/--no_event paths (reference pretrain.py:355-358)."""
     import vcg_train

@@ -10,6 +10,7 @@ import os
 
 import jax
 import numpy as np
+import pytest
 
 from kmbart_tpu.config import MultiModalBartConfig
 from kmbart_tpu.data import Collator, ConditionTokenizer
@@ -33,6 +34,7 @@ class _GenArgs:
     max_length = 48
 
 
+@pytest.mark.slow
 def test_overfit_improves_generation_metrics(fixture_dataset, toy_assets):
     cfg = MultiModalBartConfig.from_json(
         os.path.join(fixture_dataset, "config.json")).replace(dropout=0.0)

@@ -70,6 +70,7 @@ def test_beam_output_structure(setup):
         assert (after == cfg.pad_token_id).all()          # pad after EOS
 
 
+@pytest.mark.slow
 def test_beam_return_sequences_sorted(setup):
     cfg, params, batch = setup
     out = generate(params, cfg, batch, max_length=9, num_beams=4,
@@ -81,6 +82,7 @@ def test_beam_return_sequences_sorted(setup):
         assert s[0] >= s[1] - 1e-4 and s[1] >= s[2] - 1e-4, s
 
 
+@pytest.mark.slow
 def test_beam_beats_greedy(setup):
     cfg, params, batch = setup
     g = generate(params, cfg, batch, max_length=10)
@@ -111,6 +113,7 @@ def test_min_length_blocks_eos(setup):
         assert eos_pos[0] >= 9, row
 
 
+@pytest.mark.slow
 def test_bad_words_banned(setup):
     cfg, params, batch = setup
     free = generate(params, cfg, batch, max_length=10, num_beams=2)

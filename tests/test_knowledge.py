@@ -31,6 +31,7 @@ def gpt1_assets(tmp_path_factory):
     return str(d), vocab
 
 
+@pytest.mark.slow
 def test_gpt_incremental_matches_full(gpt1_assets):
     params = gpt.init_gpt_params(jax.random.PRNGKey(0), n_vocab=50, n_ctx=16,
                                  d_model=32, n_layers=2, n_heads=4)

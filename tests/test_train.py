@@ -68,6 +68,7 @@ def test_adamw_matches_torch():
         np.abs(np.asarray(params["w"])).sum()
 
 
+@pytest.mark.slow
 def test_loss_descends(tiny_cfg, np_rng):
     cfg = tiny_cfg
     params = init_conditional_params(jax.random.PRNGKey(0), cfg)
@@ -89,6 +90,7 @@ def test_loss_descends(tiny_cfg, np_rng):
     assert float(metrics["loss"]) < first * 0.7, (first, float(metrics["loss"]))
 
 
+@pytest.mark.slow
 def test_data_parallel_8dev_matches_single(tiny_cfg, np_rng):
     """pjit over an 8-device data mesh must equal single-device training
     (the gradient psum replaces DDP allreduce)."""
@@ -119,6 +121,7 @@ def test_data_parallel_8dev_matches_single(tiny_cfg, np_rng):
                                    rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_pretraining_multitask_step(tiny_cfg, np_rng):
     """All four losses flow gradients in one jitted step (no unused-params
     problem by construction)."""
@@ -166,6 +169,7 @@ def test_eval_step(tiny_cfg, np_rng):
     assert np.isfinite(float(m["loss"]))
 
 
+@pytest.mark.slow
 def test_nonfinite_guard(tiny_cfg, np_rng):
     """A batch that produces NaN gradients must not poison the params."""
     cfg = tiny_cfg
@@ -194,6 +198,7 @@ def test_nonfinite_guard(tiny_cfg, np_rng):
         np.asarray(new_state2.params["model"]["shared"]))
 
 
+@pytest.mark.slow
 def test_tensor_parallel_matches_single(tiny_cfg, np_rng):
     """2-D data x model mesh (DP=4, TP=2) training == single-device at fp32."""
     from kmbart_tpu.parallel.tp import shard_train_state, train_state_shardings
@@ -249,6 +254,7 @@ def test_sharded_generation_8dev(tiny_cfg, np_rng):
     np.testing.assert_array_equal(ref, out)
 
 
+@pytest.mark.slow
 def test_grad_accumulation_matches_mean_of_micro_grads(tiny_cfg, np_rng):
     """grad_accum_steps=2 must apply AdamW to the mean of the two
     micro-batch gradients, with per-micro dropout rngs disabled."""
@@ -304,6 +310,7 @@ def test_grad_accumulation_matches_mean_of_micro_grads(tiny_cfg, np_rng):
                                    rtol=2e-5, atol=2e-6)
 
 
+@pytest.mark.slow
 def test_grad_accumulation_under_mesh(tiny_cfg, np_rng):
     """Accumulated step compiles and matches the single-device accumulated
     step on the 8-device mesh (micro-batches stay data-sharded)."""

@@ -105,6 +105,7 @@ def test_roi_pool_matches_naive(np_rng):
                 np.testing.assert_allclose(out[n, i, j], ref, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_extractor_given_boxes(np_rng):
     from kmbart_tpu.vision.extractor import FeatureExtractor
     import jax
@@ -119,6 +120,7 @@ def test_extractor_given_boxes(np_rng):
     np.testing.assert_allclose(out["boxes"], boxes, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_extractor_proposal_path(np_rng):
     from kmbart_tpu.vision.extractor import FeatureExtractor
     import jax
@@ -151,6 +153,7 @@ def test_class_wise_max_conf_matches_per_class_nms(np_rng):
     np.testing.assert_allclose(fused, ref, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_detectron2_import(tmp_path, np_rng):
     """Fabricate a detectron2/bua-style checkpoint (conv + FrozenBN + RPN +
     box_predictor names, wrapped under the Checkpointer's 'model' key) and
@@ -272,6 +275,7 @@ def test_extract_config_yaml_parses_reference_schema():
     assert cfg["weights"] == "bua-caffe-frcn-r101_with_attributes.pth"
 
 
+@pytest.mark.slow
 def test_extractor_from_config(tmp_path, np_rng):
     """from_config propagates YAML settings and the configured pipeline
     still runs end to end."""
