@@ -37,16 +37,19 @@ def get_lib():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_SO) and not _try_build():
-        return None
+    stale = (os.path.exists(_SO) and os.path.exists(_SRC)
+             and os.path.getmtime(_SRC) > os.path.getmtime(_SO))
+    if (not os.path.exists(_SO) or stale) and not _try_build():
+        if not os.path.exists(_SO):
+            return None
     try:
         lib = ctypes.CDLL(_SO)
-    except OSError:
+        lib.nms.restype = ctypes.c_int
+        lib.meteor_resolve.restype = ctypes.c_int
+        lib.bleu_counts.restype = None
+        lib.gather_pad_rows.restype = None
+    except (OSError, AttributeError):  # missing or outdated shared object
         return None
-    lib.nms.restype = ctypes.c_int
-    lib.meteor_align.restype = ctypes.c_int
-    lib.bleu_counts.restype = None
-    lib.gather_pad_rows.restype = None
     _lib = lib
     return _lib
 
@@ -73,19 +76,22 @@ def nms(boxes, scores, iou_threshold):
     return idx[np.argsort(-scores[idx], kind="stable")]
 
 
-def meteor_align(match):
-    """match: bool [n_stages, hn, rn] stage-priority matrices ->
-    (h_stage [hn], align [hn], chunks)."""
+def meteor_resolve(cands, rn, beam=40):
+    """Beam-resolve METEOR candidate span matches.
+
+    cands: int32 [n, 5] rows (h_start, h_len, r_start, r_len, stage);
+    returns the selected row indices (list), or None when the native path
+    cannot handle the input (rn > 63)."""
     lib = get_lib()
-    match = np.ascontiguousarray(match, np.uint8)
-    s, hn, rn = match.shape
-    h_stage = np.empty(hn, np.int32)
-    align = np.empty(hn, np.int32)
-    chunks = lib.meteor_align(
-        _ptr(match, ctypes.c_uint8), ctypes.c_int(s), ctypes.c_int(hn),
-        ctypes.c_int(rn), _ptr(h_stage, ctypes.c_int32),
-        _ptr(align, ctypes.c_int32))
-    return h_stage, align, int(chunks)
+    cands = np.ascontiguousarray(cands, np.int32)
+    n = len(cands)
+    out = np.empty(max(n, 1), np.int32)
+    got = lib.meteor_resolve(
+        _ptr(cands, ctypes.c_int32), ctypes.c_int(n), ctypes.c_int(rn),
+        ctypes.c_int(beam), _ptr(out, ctypes.c_int32))
+    if got < 0:
+        return None
+    return out[:got].tolist()
 
 
 def bleu_counts(hyp_tokens, ref_token_lists, max_n=4):

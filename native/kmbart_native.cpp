@@ -4,10 +4,10 @@
 //   - nms:          the CUDA NMS kernel of bottom-up-attention
 //                   (scripts/feature_extractor.py:12) for the offline
 //                   feature pipeline's CPU path;
-//   - meteor_align: the Java METEOR aligner core (pycocoevalcap meteor jar,
-//                   src/evaluation.py:12) — staged greedy one-to-one
-//                   matching + chunk counting over precomputed stage
-//                   match matrices;
+//   - meteor_resolve: the Java METEOR aligner core (pycocoevalcap meteor
+//                   jar, src/evaluation.py:12) — beam-search resolution of
+//                   candidate span matches preferring (most covered words,
+//                   fewest chunks, smallest total start distance);
 //   - count_ngrams: batched n-gram counting for BLEU/CIDEr over large
 //                   corpora (pycocoevalcap bleu/cider Python loops);
 //   - gather_pad_rows: data-loader batch assembly — gather ragged ROI
@@ -20,6 +20,7 @@
 
 #include <algorithm>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <unordered_map>
 #include <vector>
@@ -66,46 +67,99 @@ int nms(const float* boxes, const float* scores, int n, float iou_threshold,
 }
 
 // ---------------------------------------------------------------------------
-// METEOR aligner core. Inputs: per-stage boolean match matrices packed as
-// match[s * (hn * rn) + i * rn + j] (stage priority order). Outputs:
-// h_match[i] = stage index or -1, r_match[j] likewise, pairs (i -> j) in
-// align_out[i]. Returns chunk count. Greedy closest-index per stage —
-// identical semantics to the Python fallback (kmbart_tpu/eval/meteor.py).
+// METEOR aligner core (the jar Aligner's resolution step). Input: candidate
+// span matches cands[k*5] = {h_start, h_len, r_start, r_len, stage}. Beam
+// search over one-to-one alignments preferring, lexicographically, (most
+// covered words, fewest chunks, smallest total |h_start - r_start|) —
+// identical semantics to the Python fallback (kmbart_tpu/eval/meteor.py
+// Meteor._resolve). Requires rn <= 63 (ref coverage bitmask). Writes the
+// winning candidate indices to out[] and returns their count (or -1 when
+// rn > 63, in which case the caller should use the Python path).
 // ---------------------------------------------------------------------------
-int meteor_align(const uint8_t* match, int n_stages, int hn, int rn,
-                 int32_t* h_stage, int32_t* align_out) {
-  std::vector<uint8_t> h_used(hn, 0), r_used(rn, 0);
-  for (int i = 0; i < hn; ++i) {
-    h_stage[i] = -1;
-    align_out[i] = -1;
-  }
-  for (int s = 0; s < n_stages; ++s) {
-    const uint8_t* m = match + (size_t)s * hn * rn;
-    for (int i = 0; i < hn; ++i) {
-      if (h_used[i]) continue;
-      int best = -1;
-      for (int j = 0; j < rn; ++j) {
-        if (r_used[j] || !m[i * rn + j]) continue;
-        if (best < 0 || std::abs(j - i) < std::abs(best - i)) best = j;
+int meteor_resolve(const int32_t* cands, int n_cands, int rn, int beam,
+                   int32_t* out) {
+  if (rn > 63) return -1;
+  struct State {
+    int covered, chunks, dist, h_pos, h_end, r_end;
+    uint64_t r_mask;
+    int parent, cand;  // backtracking chain into the per-round arena
+  };
+  int max_h = 0;
+  for (int k = 0; k < n_cands; ++k)
+    max_h = std::max(max_h, cands[k * 5] + cands[k * 5 + 1]);
+  std::vector<std::vector<int>> by_start(max_h + 1);
+  for (int k = 0; k < n_cands; ++k) by_start[cands[k * 5]].push_back(k);
+
+  std::vector<State> arena;  // every state ever created (for backtracking)
+  arena.push_back({0, 0, 0, 0, -1, -1, 0ull, -1, -1});
+  std::vector<int> states = {0};
+  std::vector<int> nxt;
+  auto better = [&](int a, int b) {
+    const State &x = arena[a], &y = arena[b];
+    if (x.covered != y.covered) return x.covered > y.covered;
+    if (x.chunks != y.chunks) return x.chunks < y.chunks;
+    return x.dist < y.dist;
+  };
+
+  for (int pos = 0; pos < max_h; ++pos) {
+    nxt.clear();
+    for (int sid : states) {
+      State st = arena[sid];
+      if (st.h_pos > pos) {
+        nxt.push_back(sid);
+        continue;
       }
-      if (best >= 0) {
-        h_used[i] = 1;
-        r_used[best] = 1;
-        h_stage[i] = s;
-        align_out[i] = best;
+      State skip = st;
+      skip.h_pos = pos + 1;
+      arena.push_back(skip);
+      nxt.push_back((int)arena.size() - 1);
+      for (int k : by_start[pos]) {
+        int i = cands[k * 5], n = cands[k * 5 + 1];
+        int j = cands[k * 5 + 2], m = cands[k * 5 + 3];
+        uint64_t span = ((m >= 64 ? ~0ull : ((1ull << m) - 1ull)) << j);
+        if (st.r_mask & span) continue;
+        bool cont = (i == st.h_end && j == st.r_end);
+        State nu;
+        nu.covered = st.covered + n + m;
+        nu.chunks = st.chunks + (cont ? 0 : 1);
+        nu.dist = st.dist + std::abs(i - j);
+        nu.h_pos = i + n;
+        nu.h_end = i + n;
+        nu.r_end = j + m;
+        nu.r_mask = st.r_mask | span;
+        nu.parent = sid;
+        nu.cand = k;
+        arena.push_back(nu);
+        nxt.push_back((int)arena.size() - 1);
       }
     }
+    std::stable_sort(nxt.begin(), nxt.end(), better);
+    // drop duplicate (h_pos, r_mask, h_end, r_end) keeping the best-ranked
+    states.clear();
+    std::unordered_map<uint64_t, std::vector<int>> seen;  // r_mask -> ids
+    for (int sid : nxt) {
+      const State& s = arena[sid];
+      auto& bucket = seen[s.r_mask];
+      bool dup = false;
+      for (int o : bucket) {
+        const State& t = arena[o];
+        if (t.h_pos == s.h_pos && t.h_end == s.h_end && t.r_end == s.r_end) {
+          dup = true;
+          break;
+        }
+      }
+      if (dup) continue;
+      bucket.push_back(sid);
+      states.push_back(sid);
+      if ((int)states.size() >= beam) break;
+    }
   }
-  // chunks: contiguous (i, j) runs over matches sorted by i
-  int chunks = 0;
-  int prev_i = -2, prev_j = -2;
-  for (int i = 0; i < hn; ++i) {
-    if (align_out[i] < 0) continue;
-    if (!(i == prev_i + 1 && align_out[i] == prev_j + 1)) ++chunks;
-    prev_i = i;
-    prev_j = align_out[i];
-  }
-  return chunks;
+  if (states.empty()) return 0;
+  int n_out = 0;
+  for (int sid = states[0]; arena[sid].parent >= 0; sid = arena[sid].parent)
+    out[n_out++] = arena[sid].cand;
+  std::reverse(out, out + n_out);
+  return n_out;
 }
 
 // ---------------------------------------------------------------------------

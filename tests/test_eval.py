@@ -173,3 +173,61 @@ def test_bleu_native_matches_python():
     np.testing.assert_allclose(s_native, s_python, rtol=1e-12)
     for a, b in zip(per_n, per_p):
         np.testing.assert_allclose(a, b, rtol=1e-12)
+
+
+def test_meteor_aligner_minimizes_chunks():
+    """The jar's resolution prefers fewer chunks at equal coverage; a
+    closest-index greedy matcher would pick b->0 here (2 chunks)."""
+    m = Meteor()
+    al = m._align("a b".split(), "b a b".split())
+    assert sorted(al) == [(0, 1, 1, 1, 0), (1, 1, 2, 1, 0)]
+    assert m._chunks(al) == 1
+
+
+def test_meteor_golden_reorder():
+    """METEOR 1.5 en (rank: alpha=.85 beta=.2 gamma=.6 delta=.75) on the
+    classic reorder example. All 6 words match exactly in 3 chunks:
+    P=R=1, fmean=1, frag=3/6, pen=.6*.5^.2, score=1-pen=0.4776697."""
+    m = Meteor()
+    score, _ = m.compute_score({0: ["the cat sat on the mat"]},
+                               {0: ["on the mat sat the cat"]})
+    assert score == pytest.approx(0.4776696620, abs=1e-9)
+
+
+def test_meteor_golden_synonym():
+    """big<->large via the shipped synonym table (stage weight 0.8):
+    m = 1*(0.25[a] + 0.75[dog]) + 0.8*0.75[big] = 1.6 over weighted
+    length 1.75; single full chunk -> no penalty; score = 1.6/1.75."""
+    m = Meteor()
+    score, _ = m.compute_score({0: ["a big dog"]}, {0: ["a large dog"]})
+    assert score == pytest.approx(1.6 / 1.75, abs=1e-9)
+
+
+def test_meteor_golden_paraphrase_span():
+    """'passed away'<->'died' (shipped table) matches a 2-word hypothesis
+    span to a 1-word reference span at weight 0.6. Full single-chunk
+    coverage: P = (1.75 + .6*2*.75)/3.25, R = (1.75 + .6*.75)/2.5,
+    pen = 0."""
+    m = Meteor()
+    score, _ = m.compute_score({0: ["he died last night"]},
+                               {0: ["he passed away last night"]})
+    P = (1.75 + 0.6 * 1.5) / 3.25
+    R = (1.75 + 0.6 * 0.75) / 2.5
+    want = P * R / (0.85 * P + 0.15 * R)
+    assert score == pytest.approx(want, abs=1e-9)
+    assert score == pytest.approx(0.8696625023, abs=1e-9)
+
+
+def test_meteor_warns_when_stages_inert(tmp_path):
+    empty = tmp_path / "none.txt"
+    empty.write_text("")
+    with pytest.warns(UserWarning, match="INERT"):
+        Meteor(synonym_file=None, paraphrase_file=None)
+
+
+def test_meteor_default_stages_active():
+    """Default construction loads the shipped tables: neither the synonym
+    nor the paraphrase stage may be inert."""
+    m = Meteor()
+    assert m._synonym_table or m._wordnet is not None
+    assert m._paraphrases

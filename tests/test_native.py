@@ -30,15 +30,45 @@ def test_native_bleu_counts():
     np.testing.assert_array_equal(guess, [6, 5, 4, 3])
 
 
-def test_native_meteor_align():
-    # stage 0 matrix: hyp0<->ref0, hyp1<->ref1 contiguous; stage 1: hyp3<->ref2
-    match = np.zeros((2, 4, 3), np.uint8)
-    match[0, 0, 0] = match[0, 1, 1] = 1
-    match[1, 3, 2] = 1
-    h_stage, align, chunks = _native.meteor_align(match)
-    np.testing.assert_array_equal(h_stage, [0, 0, -1, 1])
-    np.testing.assert_array_equal(align, [0, 1, -1, 2])
-    assert chunks == 2
+def test_native_meteor_resolve():
+    # candidates: hyp0->ref1, hyp1->{ref0, ref2}; the chunk-minimizing
+    # resolution keeps (0->1, 1->2), one chunk
+    cands = np.asarray([[0, 1, 1, 1, 0], [1, 1, 0, 1, 0], [1, 1, 2, 1, 0]],
+                       np.int32)
+    idx = _native.meteor_resolve(cands, rn=3)
+    assert idx == [0, 2]
+    # rn > 63 -> native refuses, caller falls back to Python
+    assert _native.meteor_resolve(cands, rn=70) is None
+
+
+def test_native_meteor_resolve_matches_python_fuzz(np_rng):
+    """Native beam resolution must equal the pure-Python resolver on random
+    candidate sets (spans included)."""
+    from kmbart_tpu.eval.meteor import Meteor
+    for _ in range(25):
+        hn, rn = int(np_rng.integers(1, 14)), int(np_rng.integers(1, 14))
+        cands = []
+        for _ in range(int(np_rng.integers(0, 18))):
+            i = int(np_rng.integers(0, hn))
+            n = int(np_rng.integers(1, min(3, hn - i) + 1))
+            j = int(np_rng.integers(0, rn))
+            m = int(np_rng.integers(1, min(3, rn - j) + 1))
+            cands.append((i, n, j, m, int(np_rng.integers(0, 4))))
+        cands = sorted(set(cands))
+        # call the Python loop directly by disabling the native fast path
+        import kmbart_tpu._native as nat
+        lib, nat._lib = nat._lib, None
+        avail = nat.available
+        nat.available = lambda: False
+        try:
+            py = Meteor._resolve(cands, rn)
+        finally:
+            nat._lib = lib
+            nat.available = avail
+        idx = _native.meteor_resolve(np.asarray(cands, np.int32).reshape(-1, 5),
+                                     rn)
+        native = [cands[k] for k in idx]
+        assert sorted(native) == sorted(py), (cands, rn, native, py)
 
 
 def test_native_gather_pad_rows(np_rng):
