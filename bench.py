@@ -4,29 +4,41 @@ Protocol (BASELINE.md): beam k=5 VCG-style generation on BART-base dims —
 the reference's north-star component is the token-by-token HF 3.0.2 beam
 loop (SURVEY.md §3.3); ours is a single jitted lax.while_loop on TPU.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-The reference publishes no throughput numbers and its torch/transformers-
-3.0.2 stack cannot run in this image (BASELINE.md), so vs_baseline compares
-against the strongest measurable stand-in: transformers' current BART beam
-search on this host's torch-CPU build, scaled per-device. If torch is
-unavailable the stored constant from the last successful local measurement
-is used.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+The decode sweep covers batch {32, 64} and reports the peak configuration
+(round-1 sweeps showed 64 is the throughput peak; larger batches lose to
+the top-k's linear cost). Extra fields: the winning batch size, per-token
+decode step time, train throughput, and train MFU (model FLOPs / v5e bf16
+peak — see BASELINE.md for the formula and for how this differs from the
+profiler's MXU-busy fraction).
+
+vs_baseline: the reference publishes no throughput numbers and its
+torch/transformers-3.0.2 CUDA stack cannot run in this image, so the
+anchor is the era-hardware estimate derived in BASELINE.md (~45
+sentences/sec for HF 3.0.2 BART-base beam-5, batch 32, max_length 32 on a
+V100-class GPU). The measured torch-CPU stand-in ratio is also reported
+separately as vs_torch_cpu when torch is available.
 """
 
 import json
 import os
-import sys
 import time
 
 import numpy as np
 
-BATCH = 32
 ENC_LEN = 72
+DEC_LEN = 40
 MAX_LEN = 32
 BEAMS = 5
+DECODE_BATCHES = (32, 64)
+TRAIN_BATCH = 32
 
-# torch-CPU reference stand-in (sentences/sec), re-measured when possible
-FALLBACK_TORCH_CPU_BASELINE = None
+# BASELINE.md "Reference throughput anchor": estimated HF 3.0.2 beam-5
+# decode on the reference's era GPU (V100-class), sentences/sec.
+REFERENCE_GPU_ESTIMATE = 45.0
+
+# v5e bf16 peak matmul throughput, FLOP/s
+V5E_PEAK_FLOPS = 197e12
 
 
 def _setup_jax():
@@ -44,73 +56,74 @@ def _setup_jax():
     return jax
 
 
-def bench_ours():
-    """Device decode throughput: inputs are pre-placed with device_put so
-    the measurement reflects the chip, not this environment's host<->TPU
-    tunnel (~60 MB/s through the axon relay — 100x slower than the PCIe/ICI
-    paths of real deployments)."""
+def _decode_batch(jax, cfg, batch_size, rng):
+    ids = rng.integers(4, 50000, (batch_size, ENC_LEN)).astype(np.int32)
+    ids[:, 1:31] = cfg.img_feat_id
+    return {
+        "input_ids": jax.device_put(ids),
+        "attention_mask": jax.device_put(
+            np.ones((batch_size, ENC_LEN), np.int32)),
+        "image_features": jax.device_put(rng.normal(
+            size=(batch_size, cfg.max_img_num, cfg.image_feature_size)
+        ).astype(np.float32)),
+    }
+
+
+def bench_decode():
+    """Device decode throughput over the batch sweep: inputs pre-placed
+    with device_put so the measurement reflects the chip, not this
+    environment's host<->TPU tunnel (~60 MB/s through the axon relay —
+    100x slower than the PCIe/ICI paths of real deployments).
+
+    Returns (best sentences/sec, best batch, per-token step ms at best)."""
     jax = _setup_jax()
     from kmbart_tpu.config import bart_base_config
     from kmbart_tpu.generation.api import generate
     from kmbart_tpu.models.conditional import init_conditional_params
 
     cfg = bart_base_config()
-    params = init_conditional_params(jax.random.PRNGKey(0), cfg)
+    params = jax.device_put(init_conditional_params(jax.random.PRNGKey(0), cfg))
     rng = np.random.default_rng(0)
-    ids = rng.integers(4, 50000, (BATCH, ENC_LEN)).astype(np.int32)
-    ids[:, 1:31] = cfg.img_feat_id
-    batch = {
-        "input_ids": jax.device_put(ids),
-        "attention_mask": jax.device_put(np.ones((BATCH, ENC_LEN), np.int32)),
-        "image_features": jax.device_put(rng.normal(
-            size=(BATCH, cfg.max_img_num, cfg.image_feature_size)
-        ).astype(np.float32)),
-    }
-    params = jax.device_put(params)
     kwargs = dict(max_length=MAX_LEN, num_beams=BEAMS, early_stopping=True,
                   rng=jax.device_put(jax.random.PRNGKey(0)))
-    # compile + warmup
-    generate(params, cfg, batch, **kwargs)
-    n_iters = 5
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = generate(params, cfg, batch, **kwargs)
-    dt = time.perf_counter() - t0
-    assert out.shape == (BATCH, MAX_LEN)
-    return BATCH * n_iters / dt
-
-
-def bench_torch_reference():
-    """transformers BART beam search, torch CPU — the closest runnable
-    stand-in for the reference's decode stack on this machine."""
-    try:
-        import torch
-        import transformers
-    except Exception:
-        return None
-    cfg = transformers.BartConfig(
-        vocab_size=50320, d_model=768, encoder_layers=6, decoder_layers=6,
-        encoder_attention_heads=12, decoder_attention_heads=12,
-        encoder_ffn_dim=3072, decoder_ffn_dim=3072,
-        max_position_embeddings=1024, pad_token_id=1, bos_token_id=0,
-        eos_token_id=2, decoder_start_token_id=0)
-    model = transformers.BartForConditionalGeneration(cfg).eval()
-    rng = np.random.default_rng(0)
-    ids = torch.tensor(rng.integers(4, 50000, (BATCH, ENC_LEN)), dtype=torch.long)
-    am = torch.ones_like(ids)
-    with torch.no_grad():
-        model.generate(input_ids=ids[:4], attention_mask=am[:4],
-                       num_beams=BEAMS, max_length=MAX_LEN)  # warmup
+    best = (0.0, 0, 0.0)
+    for batch_size in DECODE_BATCHES:
+        batch = _decode_batch(jax, cfg, batch_size, rng)
+        out = generate(params, cfg, batch, **kwargs)  # compile + warmup
+        n_iters = 5
         t0 = time.perf_counter()
-        model.generate(input_ids=ids, attention_mask=am,
-                       num_beams=BEAMS, max_length=MAX_LEN)
+        for _ in range(n_iters):
+            out = generate(params, cfg, batch, **kwargs)
         dt = time.perf_counter() - t0
-    return BATCH / dt
+        assert np.asarray(out).shape == (batch_size, MAX_LEN)
+        tput = batch_size * n_iters / dt
+        step_ms = dt / n_iters / (MAX_LEN - 1) * 1e3
+        if tput > best[0]:
+            best = (tput, batch_size, step_ms)
+    return best
+
+
+def train_flops_per_sample(cfg, enc_len=ENC_LEN, dec_len=DEC_LEN):
+    """Model FLOPs of one fwd+bwd sample: 6 x (matmul params x tokens they
+    see) + attention score/value FLOPs. Embedding gathers excluded."""
+    d = cfg.d_model
+    enc_layer = 12 * d * d               # qkvo (4d^2) + ffn (8d^2)
+    dec_layer = 16 * d * d               # + cross-attn qkvo
+    lm_head = d * cfg.vocab_size
+    img_embed = cfg.image_feature_size * d
+    matmul = (cfg.encoder_layers * enc_layer * enc_len
+              + cfg.decoder_layers * dec_layer * dec_len
+              + lm_head * dec_len
+              + img_embed * cfg.max_img_num)
+    heads_attn = (cfg.encoder_layers * enc_len * enc_len * d       # enc self
+                  + cfg.decoder_layers * dec_len * dec_len * d     # dec self
+                  + cfg.decoder_layers * dec_len * enc_len * d)    # cross
+    return 6 * matmul + 2 * 6 * heads_attn  # QK^T and AV, fwd+bwd
 
 
 def bench_train():
-    """Secondary metric: VCG fine-tune train step throughput (samples/sec,
-    BART-base, batch 32, enc 72 / dec 40) on one chip."""
+    """VCG fine-tune train step: samples/sec and model-FLOPs utilization
+    (BART-base, batch TRAIN_BATCH, enc 72 / dec 40) on one chip."""
     jax = _setup_jax()
     from kmbart_tpu.config import bart_base_config
     from kmbart_tpu.models.conditional import (
@@ -122,17 +135,17 @@ def bench_train():
     cfg = bart_base_config()
     params = init_conditional_params(jax.random.PRNGKey(0), cfg)
     rng = np.random.default_rng(0)
-    B, DEC = BATCH, 40
+    B = TRAIN_BATCH
     ids = rng.integers(4, 50000, (B, ENC_LEN)).astype(np.int32)
     ids[:, 1:31] = cfg.img_feat_id
-    dec = rng.integers(4, 50000, (B, DEC)).astype(np.int32)
+    dec = rng.integers(4, 50000, (B, DEC_LEN)).astype(np.int32)
     batch = {
         "input_ids": ids,
         "attention_mask": np.ones((B, ENC_LEN), np.int32),
         "image_features": rng.normal(
             size=(B, cfg.max_img_num, cfg.image_feature_size)).astype(np.float32),
         "decoder_input_ids": dec,
-        "decoder_attention_mask": np.ones((B, DEC), np.int32),
+        "decoder_attention_mask": np.ones((B, DEC_LEN), np.int32),
         "labels": dec.copy(),
     }
 
@@ -152,32 +165,65 @@ def bench_train():
         state, m = step(state, dev_batch, key)
     float(m["loss"])  # sync
     dt = time.perf_counter() - t0
-    return B * n_iters / dt
+    tput = B * n_iters / dt
+    mfu = tput * train_flops_per_sample(cfg) / V5E_PEAK_FLOPS
+    return tput, mfu
+
+
+def bench_torch_cpu():
+    """transformers BART beam search, torch CPU — the only runnable torch
+    stand-in on this machine (reported as vs_torch_cpu, NOT the anchor)."""
+    try:
+        import torch
+        import transformers
+    except Exception:
+        return None
+    cfg = transformers.BartConfig(
+        vocab_size=50320, d_model=768, encoder_layers=6, decoder_layers=6,
+        encoder_attention_heads=12, decoder_attention_heads=12,
+        encoder_ffn_dim=3072, decoder_ffn_dim=3072,
+        max_position_embeddings=1024, pad_token_id=1, bos_token_id=0,
+        eos_token_id=2, decoder_start_token_id=0)
+    model = transformers.BartForConditionalGeneration(cfg).eval()
+    rng = np.random.default_rng(0)
+    B = 32
+    ids = torch.tensor(rng.integers(4, 50000, (B, ENC_LEN)), dtype=torch.long)
+    am = torch.ones_like(ids)
+    with torch.no_grad():
+        model.generate(input_ids=ids[:4], attention_mask=am[:4],
+                       num_beams=BEAMS, max_length=MAX_LEN)  # warmup
+        t0 = time.perf_counter()
+        model.generate(input_ids=ids, attention_mask=am,
+                       num_beams=BEAMS, max_length=MAX_LEN)
+        dt = time.perf_counter() - t0
+    return B / dt
 
 
 def main():
-    ours = bench_ours()
+    tput, best_batch, step_ms = bench_decode()
     try:
-        train_tput = bench_train()
+        train_tput, train_mfu = bench_train()
     except Exception:
-        train_tput = None
-    baseline = None
+        train_tput = train_mfu = None
+    torch_cpu = None
     if os.environ.get("KMBART_BENCH_SKIP_TORCH") != "1":
         try:
-            baseline = bench_torch_reference()
+            torch_cpu = bench_torch_cpu()
         except Exception:
-            baseline = None
-    if baseline is None:
-        baseline = FALLBACK_TORCH_CPU_BASELINE
-    vs = (ours / baseline) if baseline else 1.0
+            torch_cpu = None
     record = {
         "metric": "beam5_decode_throughput",
-        "value": round(ours, 2),
+        "value": round(tput, 2),
         "unit": "sentences/sec",
-        "vs_baseline": round(vs, 2),
+        "vs_baseline": round(tput / REFERENCE_GPU_ESTIMATE, 2),
+        "batch": best_batch,
+        "decode_step_ms": round(step_ms, 3),
     }
     if train_tput is not None:
         record["train_samples_per_sec"] = round(train_tput, 2)
+        record["train_mfu"] = round(train_mfu, 4)
+    if torch_cpu:
+        record["vs_torch_cpu"] = round(tput / torch_cpu, 2)
     print(json.dumps(record))
 
 
