@@ -37,5 +37,10 @@ def parse_args():
     return parser.parse_args()
 
 
-if __name__ == '__main__':
+def cli():
+    """console-script entry point (pyproject.toml)."""
     main(parse_args())
+
+
+if __name__ == '__main__':
+    cli()
