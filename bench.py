@@ -31,7 +31,7 @@ DEC_LEN = 40
 MAX_LEN = 32
 BEAMS = 5
 DECODE_BATCHES = (32, 64)
-TRAIN_BATCH = 32
+TRAIN_BATCHES = (32, 128)
 
 # BASELINE.md "Reference throughput anchor": estimated HF 3.0.2 beam-5
 # decode on the reference's era GPU (V100-class), sentences/sec.
@@ -122,8 +122,9 @@ def train_flops_per_sample(cfg, enc_len=ENC_LEN, dec_len=DEC_LEN):
 
 
 def bench_train():
-    """VCG fine-tune train step: samples/sec and model-FLOPs utilization
-    (BART-base, batch TRAIN_BATCH, enc 72 / dec 40) on one chip."""
+    """VCG fine-tune train step over the batch sweep: samples/sec and
+    model-FLOPs utilization (BART-base, enc 72 / dec 40) on one chip.
+    Returns {batch: (samples/sec, mfu)}."""
     jax = _setup_jax()
     from kmbart_tpu.config import bart_base_config
     from kmbart_tpu.models.conditional import (
@@ -135,39 +136,41 @@ def bench_train():
     cfg = bart_base_config()
     params = init_conditional_params(jax.random.PRNGKey(0), cfg)
     rng = np.random.default_rng(0)
-    B = TRAIN_BATCH
-    ids = rng.integers(4, 50000, (B, ENC_LEN)).astype(np.int32)
-    ids[:, 1:31] = cfg.img_feat_id
-    dec = rng.integers(4, 50000, (B, DEC_LEN)).astype(np.int32)
-    batch = {
-        "input_ids": ids,
-        "attention_mask": np.ones((B, ENC_LEN), np.int32),
-        "image_features": rng.normal(
-            size=(B, cfg.max_img_num, cfg.image_feature_size)).astype(np.float32),
-        "decoder_input_ids": dec,
-        "decoder_attention_mask": np.ones((B, DEC_LEN), np.int32),
-        "labels": dec.copy(),
-    }
 
     def loss_fn(p, b, step_rng):
         loss, _ = conditional_loss(p, cfg, b, train=True, rng=step_rng)
         return loss, {}
 
     step = build_train_step(loss_fn, adamw(lr=1e-5), donate=False)
-    state = TrainState.create(params)
     key = jax.random.PRNGKey(0)
-    dev_batch = jax.device_put(batch)
-    state, m = step(state, dev_batch, key)  # compile
-    float(m["loss"])
-    n_iters = 8
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        state, m = step(state, dev_batch, key)
-    float(m["loss"])  # sync
-    dt = time.perf_counter() - t0
-    tput = B * n_iters / dt
-    mfu = tput * train_flops_per_sample(cfg) / V5E_PEAK_FLOPS
-    return tput, mfu
+    out = {}
+    for B in TRAIN_BATCHES:
+        ids = rng.integers(4, 50000, (B, ENC_LEN)).astype(np.int32)
+        ids[:, 1:31] = cfg.img_feat_id
+        dec = rng.integers(4, 50000, (B, DEC_LEN)).astype(np.int32)
+        batch = {
+            "input_ids": ids,
+            "attention_mask": np.ones((B, ENC_LEN), np.int32),
+            "image_features": rng.normal(
+                size=(B, cfg.max_img_num,
+                      cfg.image_feature_size)).astype(np.float32),
+            "decoder_input_ids": dec,
+            "decoder_attention_mask": np.ones((B, DEC_LEN), np.int32),
+            "labels": dec.copy(),
+        }
+        state = TrainState.create(params)
+        dev_batch = jax.device_put(batch)
+        state, m = step(state, dev_batch, key)  # compile
+        float(m["loss"])
+        n_iters = 8
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            state, m = step(state, dev_batch, key)
+        float(m["loss"])  # sync
+        dt = time.perf_counter() - t0
+        tput = B * n_iters / dt
+        out[B] = (tput, tput * train_flops_per_sample(cfg) / V5E_PEAK_FLOPS)
+    return out
 
 
 def bench_torch_cpu():
@@ -202,9 +205,9 @@ def bench_torch_cpu():
 def main():
     tput, best_batch, step_ms = bench_decode()
     try:
-        train_tput, train_mfu = bench_train()
+        train = bench_train()
     except Exception:
-        train_tput = train_mfu = None
+        train = None
     torch_cpu = None
     if os.environ.get("KMBART_BENCH_SKIP_TORCH") != "1":
         try:
@@ -219,9 +222,14 @@ def main():
         "batch": best_batch,
         "decode_step_ms": round(step_ms, 3),
     }
-    if train_tput is not None:
-        record["train_samples_per_sec"] = round(train_tput, 2)
-        record["train_mfu"] = round(train_mfu, 4)
+    if train:
+        base_b = TRAIN_BATCHES[0]
+        record["train_samples_per_sec"] = round(train[base_b][0], 2)
+        record["train_mfu"] = round(train[base_b][1], 4)
+        peak_b = max(train, key=lambda b: train[b][0])
+        record["train_peak_samples_per_sec"] = round(train[peak_b][0], 2)
+        record["train_peak_mfu"] = round(train[peak_b][1], 4)
+        record["train_peak_batch"] = peak_b
     if torch_cpu:
         record["vs_torch_cpu"] = round(tput / torch_cpu, 2)
     print(json.dumps(record))

@@ -89,6 +89,19 @@ def beam_search_loop(params, cfg, fbias, enc_hidden, enc_mask, rng, *,
     V = cfg.vocab_size
     b_idx = jnp.arange(B)
 
+    # With every score postprocessor inert (the VCG decode default),
+    # candidate selection can run on the RAW logits: log_softmax is
+    # monotonic per row, so each beam's top-2K survivors are identical, and
+    # only those 2K get normalised (exactly as log_softmax would) before the
+    # cross-beam merge. This removes two full-vocab materialisations per
+    # step (the [BK, V] log_softmax output and the [B, K*V] flat candidate
+    # copy) from the hot loop — selection + tie-breaking stay bit-identical
+    # to HF 3.0.2's topk over the flat normalised matrix (beam-major flat
+    # index order == (beam asc, within-beam rank asc) merge order).
+    fast_select = (not do_sample and repetition_penalty == 1.0
+                   and no_repeat_ngram_size == 0 and bad_words_ids is None
+                   and min_length == 0)
+
     tokens = jnp.full((BK, max_length), pad_token_id, jnp.int32)
     tokens = tokens.at[:, 0].set(decoder_start_token_id)
     cache = bart.init_decode_cache(params, cfg, enc_hidden, max_length,
@@ -126,13 +139,25 @@ def beam_search_loop(params, cfg, fbias, enc_hidden, enc_mask, rng, *,
                                             cfg.bos_token_id, eos_token_id)
         if do_sample and temperature != 1.0:
             logits = logits / temperature
-        scores = jax.nn.log_softmax(logits, axis=-1)
-        scores = lp.postprocess_scores(
-            scores, tokens, cur_len,
-            repetition_penalty=repetition_penalty,
-            no_repeat_ngram_size=no_repeat_ngram_size,
-            bad_words_ids=bad_words_ids, min_length=min_length,
-            eos_token_id=eos_token_id)
+
+        if fast_select:
+            row_vals, row_idx = exact_top_k(logits, 2 * K)      # [BK, 2K]
+            lse = jax.scipy.special.logsumexp(logits, axis=-1)  # [BK]
+            norm = (row_vals - lse[:, None]) + beam_scores.reshape(BK, 1)
+            merged = norm.reshape(B, K * 2 * K)
+            beam_base = (jnp.arange(K, dtype=jnp.int32) * V)[None, :, None]
+            flat_idx = (row_idx.reshape(B, K, 2 * K)
+                        + beam_base).reshape(B, K * 2 * K)
+            cand_scores, pos = jax.lax.top_k(merged, 2 * K)
+            cand_idx = jnp.take_along_axis(flat_idx, pos, axis=1)
+        else:
+            scores = jax.nn.log_softmax(logits, axis=-1)
+            scores = lp.postprocess_scores(
+                scores, tokens, cur_len,
+                repetition_penalty=repetition_penalty,
+                no_repeat_ngram_size=no_repeat_ngram_size,
+                bad_words_ids=bad_words_ids, min_length=min_length,
+                eos_token_id=eos_token_id)
 
         if do_sample:
             _scores = scores + beam_scores.reshape(BK, 1)
@@ -148,7 +173,7 @@ def beam_search_loop(params, cfg, fbias, enc_hidden, enc_mask, rng, *,
             order = jnp.argsort(-cand_scores, axis=1)
             cand_scores = jnp.take_along_axis(cand_scores, order, axis=1)
             cand_idx = jnp.take_along_axis(cand_idx, order, axis=1)
-        else:
+        elif not fast_select:
             flat = (scores + beam_scores.reshape(BK, 1)).reshape(B, K * V)
             # lax.top_k lowers to a full 8M-element sort here; the iterative
             # exact top-k is ~10x cheaper (see ops/topk.py)
