@@ -12,12 +12,12 @@ For k << N two exact alternatives, both bandwidth-bound:
     each pick the best chunk, resolve the position inside that one chunk,
     and update its cached maximum — ~1/k the HBM traffic.
 
-Measured on v5e over the beam bench's [32, 251600] candidate matrix:
-chunk-max 1.02 ms vs iterative 1.18 ms standalone, but end-to-end beam
-throughput is equal-or-slightly-worse (the decode loop overlaps the top-k
-with async hypothesis copies, hiding the op-level win, while the unrolled
-chunk bookkeeping inflates the step program) — so iterative stays the
-default and chunk-max is kept as an exact, tested alternative.
+Measured on v5e: with round 1's selection over the [B, beams*vocab] flat
+normalised matrix the two were end-to-end equal (the top-k overlapped
+async hypothesis copies). After round 2's raw-logit selection ([B*beams,
+vocab] rows), chunk-max wins end-to-end at batch 32 (+4%) and 128 (+6%)
+and ties at 64 — so chunk-max is now the default for huge rows, with the
+iterative variant kept as the tested alternative.
 
 Tie-breaking matches lax.top_k / torch.topk: the lowest index wins, and
 results come out sorted descending (greedy picks are value-descending with
@@ -35,13 +35,13 @@ NEG_INF = -jnp.inf
 def exact_top_k(x, k, *, iterative_threshold=4096):
     """Drop-in for jax.lax.top_k(x, k) on 2-D inputs.
 
-    Uses k iterative argmax passes when the row is much larger than k
+    Uses the chunk-max exact top-k when the row is much larger than k
     (N > iterative_threshold * k), otherwise defers to lax.top_k.
     """
     B, N = x.shape
     if N <= iterative_threshold * k:
         return jax.lax.top_k(x, k)
-    return _iterative_top_k(x, k)
+    return _chunk_max_top_k(x, k)
 
 
 def _chunk_max_top_k(x, k, chunk=1024, unroll=True):
