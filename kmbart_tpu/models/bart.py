@@ -270,7 +270,9 @@ def _maybe_layerdrop(x_new, x_old, p, rng, train):
 
 def encode(params, cfg: MultiModalBartConfig, input_ids, image_features=None,
            attention_mask=None, *, train=False, rng=None):
-    """Multimodal encoder forward. Returns [B, T, D] fp32 hidden states."""
+    """Multimodal encoder forward. Returns [B, T, D] hidden states in the
+    compute dtype (the residual stream stays bf16 under the default
+    mixed-precision policy; fp32 when cfg.dtype is float32)."""
     dtype = jnp.dtype(cfg.dtype)
     act = ACTIVATIONS[cfg.activation_function]
     B, T = input_ids.shape
@@ -285,6 +287,7 @@ def encode(params, cfg: MultiModalBartConfig, input_ids, image_features=None,
     if rng is not None:
         rng, sub = jax.random.split(rng)
         x = dropout(x, cfg.dropout, sub, train)
+    x = x.astype(dtype)  # residual stream in compute dtype from here on
 
     def body(carry, scanned):
         x, rng = carry
@@ -324,13 +327,14 @@ def _decoder_embed(params, cfg, decoder_input_ids, pos_start, train, rng):
     if rng is not None:
         rng, sub = jax.random.split(rng)
         x = dropout(x, cfg.dropout, sub, train)
-    return x, rng
+    return x.astype(dtype), rng
 
 
 def decode(params, cfg: MultiModalBartConfig, decoder_input_ids, enc_hidden,
            enc_attention_mask=None, decoder_attention_mask=None, *,
            train=False, rng=None):
-    """Full (teacher-forced) decoder forward. Returns [B, T, D] fp32."""
+    """Full (teacher-forced) decoder forward. Returns [B, T, D] in the
+    compute dtype (see encode)."""
     dtype = jnp.dtype(cfg.dtype)
     act = ACTIVATIONS[cfg.activation_function]
     B, T = decoder_input_ids.shape
@@ -416,7 +420,7 @@ def decode_step(params, cfg: MultiModalBartConfig, token_ids, cache, cache_index
     rows before use — beam-search parent reordering fused into the per-layer
     scan (one gather+update per layer slice instead of whole-cache copies
     with layout churn, a large profiled win on v5e).
-    Returns (hidden [B, 1, D] fp32, updated cache)."""
+    Returns (hidden [B, 1, D] compute dtype, updated cache)."""
     dtype = jnp.dtype(cfg.dtype)
     act = ACTIVATIONS[cfg.activation_function]
     max_len = cache["self_k"].shape[2]
@@ -471,15 +475,21 @@ def decode_step(params, cfg: MultiModalBartConfig, token_ids, cache, cache_index
     return x, new_cache
 
 
-def lm_logits(params, cfg: MultiModalBartConfig, hidden, final_logits_bias=None):
+def lm_logits(params, cfg: MultiModalBartConfig, hidden, final_logits_bias=None,
+              logits_dtype=jnp.float32):
     """Tied LM head: hidden @ shared.T + final_logits_bias
-    (reference: src/model/model.py:291,397)."""
+    (reference: src/model/model.py:291,397).
+
+    ``logits_dtype``: fp32 by default (decode-time score processors read
+    exact logits); the train loss passes the compute dtype so the
+    [B, T, vocab] tensor is written at half width — the CE computes its
+    statistics in fp32 either way."""
     dtype = jnp.dtype(cfg.dtype)
     logits = jnp.dot(hidden.astype(dtype), params["shared"].T.astype(dtype),
                      preferred_element_type=jnp.float32)
     if final_logits_bias is not None:
         logits = logits + final_logits_bias.astype(jnp.float32)
-    return logits
+    return logits.astype(logits_dtype)
 
 
 def forward(params, cfg: MultiModalBartConfig, input_ids, image_features=None,

@@ -21,7 +21,11 @@ def init_conditional_params(rng, cfg: MultiModalBartConfig) -> dict:
 
 def conditional_loss(params, cfg: MultiModalBartConfig, batch, *, train=False,
                      rng=None):
-    """CE loss on labels (-100 ignored). Returns (loss, {"logits": ...})."""
+    """CE loss on labels (-100 ignored). Returns (loss, {"logits": ...}).
+
+    Logits are emitted in the compute dtype (half-width write at the
+    50320-vocab head); the CE statistics are fp32 inside
+    ``cross_entropy_ignore_index``."""
     hidden, _ = bart.forward(
         params["model"], cfg,
         batch["input_ids"], batch.get("image_features"),
@@ -30,7 +34,8 @@ def conditional_loss(params, cfg: MultiModalBartConfig, batch, *, train=False,
         decoder_attention_mask=batch.get("decoder_attention_mask"),
         train=train, rng=rng)
     logits = bart.lm_logits(params["model"], cfg, hidden,
-                            params["final_logits_bias"])
+                            params["final_logits_bias"],
+                            logits_dtype=jnp.dtype(cfg.dtype))
     loss, _ = cross_entropy_ignore_index(logits, batch["labels"])
     return loss, {"logits": logits}
 

@@ -46,15 +46,55 @@ def classification_head(params, x, *, dropout_rate=0.0, rng=None, train=False,
 # Losses (masked-mean semantics matching the reference)
 # --------------------------------------------------------------------------
 
+@jax.custom_vjp
+def _masked_nll_sum(logits, safe_labels, valid):
+    """Sum over valid positions of -log softmax(logits)[label].
+
+    Logsumexp form with a hand-written VJP: the naive
+    ``log_softmax -> take_along_axis`` autodiff materialises a full fp32
+    log-prob tensor in forward AND an extra full-size subtract in backward
+    — at KM-BART's [B, T, 50320] vocab that was ~4.5 ms/step of pure HBM
+    traffic on v5e. Here forward is two fused reductions over the logits
+    and backward is the closed form softmax(logits) - onehot in a single
+    full-size pass, emitted directly in the logits dtype.
+    """
+    out, _ = _masked_nll_sum_fwd(logits, safe_labels, valid)
+    return out
+
+
+def _masked_nll_sum_fwd(logits, safe_labels, valid):
+    lf = logits.astype(jnp.float32)
+    m = jnp.max(lf, axis=-1)
+    se = jnp.sum(jnp.exp(lf - m[..., None]), axis=-1)
+    lse = jnp.log(se) + m
+    ll = jnp.take_along_axis(lf, safe_labels[..., None], axis=-1)[..., 0]
+    nll_sum = jnp.sum(jnp.where(valid, lse - ll, 0.0))
+    return nll_sum, (logits, safe_labels, valid, m, se)
+
+
+def _masked_nll_sum_bwd(res, g):
+    logits, safe_labels, valid, m, se = res
+    lf = logits.astype(jnp.float32)
+    p = jnp.exp(lf - m[..., None]) / se[..., None]
+    vocab = jnp.arange(logits.shape[-1])
+    onehot = vocab == safe_labels[..., None]
+    scale = (g * valid.astype(jnp.float32))[..., None]
+    dlogits = (scale * (p - onehot)).astype(logits.dtype)
+    return dlogits, None, None
+
+
+_masked_nll_sum.defvjp(_masked_nll_sum_fwd, _masked_nll_sum_bwd)
+
+
 def cross_entropy_ignore_index(logits, labels, ignore_index=-100):
     """Mean CE over positions where labels != ignore_index
-    (torch.nn.CrossEntropyLoss default reduction)."""
+    (torch.nn.CrossEntropyLoss default reduction). Statistics are fp32
+    regardless of the logits dtype (the train path feeds bf16 logits)."""
     valid = labels != ignore_index
     safe = jnp.where(valid, labels, 0)
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
     n = jnp.sum(valid)
-    return jnp.sum(jnp.where(valid, nll, 0.0)) / jnp.maximum(n, 1), n
+    nll_sum = _masked_nll_sum(logits, safe, valid)
+    return nll_sum / jnp.maximum(n, 1), n
 
 
 def masked_kl_div_batchmean(log_probs, soft_labels, mask):

@@ -116,7 +116,8 @@ def pretraining_loss(params, cfg: MultiModalBartConfig, batch, *, train=False,
 
     # --- LM loss (cls positions ignored: src/model/model.py:296-302) --------
     logits = bart.lm_logits(params["model"], cfg, hidden,
-                            params["final_logits_bias"])
+                            params["final_logits_bias"],
+                            logits_dtype=dtype)
     if "labels" in batch:
         labels = jnp.where(batch["labels"] == cfg.cls_token_id, -100,
                            batch["labels"])

@@ -39,7 +39,7 @@ def attention_core(q, k, v, bias=None, *, dropout_rate=0.0, rng=None,
 
     q: [B, Tq, H, hd]; k, v: [B, Tk, H, hd]; bias: additive fp32
     broadcastable to [B, H, Tq, Tk] (0 for attend, NEG_INF for mask).
-    Returns [B, Tq, H, hd] in fp32.
+    Softmax statistics in fp32; returns [B, Tq, H, hd] in ``dtype``.
     """
     head_dim = q.shape[-1]
     scale = head_dim ** -0.5
@@ -52,7 +52,7 @@ def attention_core(q, k, v, bias=None, *, dropout_rate=0.0, rng=None,
     probs = dropout(probs, dropout_rate, rng, train)
     out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(dtype), v.astype(dtype),
                      preferred_element_type=jnp.float32)
-    return out
+    return out.astype(dtype)
 
 
 def multi_head_attention(

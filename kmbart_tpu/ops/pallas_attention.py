@@ -167,4 +167,11 @@ def flash_supported(q_len, k_len, head_dim, attention_dropout, train,
         return False
     if causal and q_len != k_len:
         return False
+    # Size gate: at short sequence lengths the [*, Tq, Tk] score tensor is
+    # small enough that XLA's batched-matmul attention beats the kernel's
+    # grid/launch overhead — round-2 v5e A/B on the training workload
+    # (enc 72 / dec 40, batch 128) measured the kernel 6 ms/step SLOWER.
+    # Only engage where score materialisation dominates.
+    if q_len * k_len < 128 * 128:
+        return False
     return q_len % 8 == 0 and k_len % 8 == 0 and head_dim % 8 == 0

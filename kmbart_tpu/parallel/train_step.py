@@ -70,18 +70,25 @@ def build_train_step(loss_fn, optimizer, mesh=None, param_specs=None,
     def step(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
         loss, metrics, grads = grads_and_metrics(state.params, batch, rng)
-        new_params, new_opt = optimizer.update(grads, state.opt_state,
-                                               state.params)
         metrics = dict(metrics)
+        grads_ok = None
         if skip_nonfinite:
             grads_ok = jax.tree.reduce(
                 lambda a, g: a & jnp.all(jnp.isfinite(g)),
                 grads, jnp.isfinite(loss))
-            pick = lambda new, old: jax.tree.map(
-                lambda n, o: jnp.where(grads_ok, n, o), new, old)
-            new_params = pick(new_params, state.params)
-            new_opt = pick(new_opt, state.opt_state)
             metrics["skipped"] = 1.0 - grads_ok.astype(jnp.float32)
+        if grads_ok is not None and getattr(optimizer, "supports_ok", False):
+            # guard fused into the optimizer's elementwise pass (adamw.py)
+            new_params, new_opt = optimizer.update(grads, state.opt_state,
+                                                   state.params, ok=grads_ok)
+        else:
+            new_params, new_opt = optimizer.update(grads, state.opt_state,
+                                                   state.params)
+            if grads_ok is not None:
+                pick = lambda new, old: jax.tree.map(
+                    lambda n, o: jnp.where(grads_ok, n, o), new, old)
+                new_params = pick(new_params, state.params)
+                new_opt = pick(new_opt, state.opt_state)
         new_state = TrainState(params=new_params, opt_state=new_opt,
                                step=state.step + 1)
         metrics["loss"] = loss
