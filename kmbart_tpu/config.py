@@ -96,6 +96,11 @@ class MultiModalBartConfig:
     # slices XLA hoists f32 upcasts of the cross-K/V out of the decode loop,
     # doubling per-step HBM reads, and loses the scan's async slice
     # prefetch. Kept as a knob for other backends/shapes.
+    beam_stationary_cache: bool = True  # beam decode: never permute the KV
+    # cache; track beam ancestry in a [B*K, T] int32 matrix and gather the
+    # right rows inside the fused self-attention
+    # (ops/pallas_beam_attention.py). False falls back to the fused
+    # permute-in-scan path (bart.decode_step reorder_idx).
 
     def __post_init__(self):
         # frozen dataclass: normalise unhashable field values in place

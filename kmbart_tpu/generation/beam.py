@@ -37,6 +37,7 @@ import jax.numpy as jnp
 
 from kmbart_tpu.models import bart
 from kmbart_tpu.generation import logits as lp
+from kmbart_tpu.ops.pallas_beam_attention import build_selection_mask
 from kmbart_tpu.ops.topk import exact_top_k
 
 NEG_1E9 = -1e9
@@ -104,8 +105,21 @@ def beam_search_loop(params, cfg, fbias, enc_hidden, enc_mask, rng, *,
 
     tokens = jnp.full((BK, max_length), pad_token_id, jnp.int32)
     tokens = tokens.at[:, 0].set(decoder_start_token_id)
-    cache = bart.init_decode_cache(params, cfg, enc_hidden, max_length,
-                                   self_batch=BK)
+    # Beam-stationary cache: K/V rows are written once into the writer
+    # beam's slot and NEVER permuted; a [BK, T] ancestry matrix tracks
+    # which slot holds each past position per live beam, and the
+    # self-attention gathers ancestors in-kernel
+    # (ops/pallas_beam_attention.py). Replaces the reference's physical
+    # _reorder_cache (mixins.py:419-434) whose full cache read+write per
+    # step was the largest decode cost on v5e.
+    stationary = getattr(cfg, "beam_stationary_cache", True)
+    if stationary:
+        caches = bart.init_decode_cache_layers(params, cfg, enc_hidden,
+                                               max_length, num_beams=K)
+        ancestry = jnp.zeros((BK, max_length), jnp.int32)
+    else:
+        cache = bart.init_decode_cache(params, cfg, enc_hidden, max_length,
+                                       self_batch=BK)
 
     beam_scores = jnp.full((B, K), NEG_1E9, jnp.float32).at[:, 0].set(0.0)
     if do_sample:
@@ -123,14 +137,29 @@ def beam_search_loop(params, cfg, fbias, enc_hidden, enc_mask, rng, *,
         return c if length_penalty == 1.0 else c ** length_penalty
 
     def body(state):
-        cur_len, tokens, beam_scores, cache, hyp, rng, done, parent_prev = state
+        (cur_len, tokens, beam_scores, cache, ancestry, hyp, rng, done,
+         parent_prev) = state
 
         prev = jax.lax.dynamic_slice_in_dim(tokens, cur_len - 1, 1, axis=1)
-        # parent reordering from the previous step is applied lazily inside
-        # the per-layer scan (avoids whole-cache copies; see bart.decode_step)
-        hidden, cache = bart.decode_step(params, cfg, prev, cache,
-                                         cur_len - 1, enc_mask,
-                                         reorder_idx=parent_prev)
+        if stationary:
+            # resolve this beam's history through its parent's ancestry
+            # (a [BK, T] int32 permute — the cache itself never moves),
+            # then claim the own slot for this step's K/V row
+            ancestry = jnp.take(ancestry, parent_prev, axis=0)
+            pos = jnp.arange(ancestry.shape[1])[None, :]
+            own_slot = (jnp.arange(BK, dtype=jnp.int32) % K)[:, None]
+            ancestry = jnp.where(pos == cur_len - 1, own_slot, ancestry)
+            sel = build_selection_mask(ancestry, K, cur_len - 1,
+                                       cfg.decoder_attention_heads)
+            hidden, cache = bart.decode_step_stationary(
+                params, cfg, prev, cache, cur_len - 1, sel, enc_mask,
+                num_beams=K)
+        else:
+            # parent reordering applied lazily inside the per-layer scan
+            # (avoids whole-cache copies; see bart.decode_step)
+            hidden, cache = bart.decode_step(params, cfg, prev, cache,
+                                             cur_len - 1, enc_mask,
+                                             reorder_idx=parent_prev)
         logits = bart.lm_logits(params, cfg, hidden, fbias)[:, 0, :]
 
         if not do_sample:
@@ -233,17 +262,19 @@ def beam_search_loop(params, cfg, fbias, enc_hidden, enc_mask, rng, *,
         tokens = jax.lax.dynamic_update_slice(
             tokens, nb_tokens.reshape(BK, 1), (0, cur_len))
 
-        return (cur_len + 1, tokens, nb_scores, cache, hyp, rng, done,
-                parent_global)
+        return (cur_len + 1, tokens, nb_scores, cache, ancestry, hyp, rng,
+                done, parent_global)
 
-    state = (jnp.int32(1), tokens, beam_scores, cache, hyp,
-             rng if rng is not None else jax.random.PRNGKey(0), done,
+    state = (jnp.int32(1), tokens, beam_scores,
+             caches if stationary else cache,
+             ancestry if stationary else jnp.zeros((1,), jnp.int32),
+             hyp, rng if rng is not None else jax.random.PRNGKey(0), done,
              jnp.arange(BK, dtype=jnp.int32))
 
     def cond_fn(state):
-        return (state[0] < max_length) & ~jnp.all(state[6])
+        return (state[0] < max_length) & ~jnp.all(state[7])
 
-    cur_len, tokens, beam_scores, cache, hyp, rng, done, _ = \
+    cur_len, tokens, beam_scores, _, _, hyp, rng, done, _ = \
         jax.lax.while_loop(cond_fn, body, state)
 
     # ---- finalise: unfinished batches contribute their live beams ----------

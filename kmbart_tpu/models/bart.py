@@ -475,6 +475,116 @@ def decode_step(params, cfg: MultiModalBartConfig, token_ids, cache, cache_index
     return x, new_cache
 
 
+def init_decode_cache_layers(params, cfg: MultiModalBartConfig, enc_hidden,
+                             max_len, num_beams, cache_dtype=None):
+    """Per-layer (unstacked) decode cache for the beam-stationary path.
+
+    Returns a tuple of L dicts {self_k, self_v [B, num_beams, max_len, D];
+    cross_k, cross_v [B, Tenc, D]}. Unstacked per-layer arrays let the
+    beam loop unroll the layer loop with *static* cache references: no
+    lax.scan ys re-stacking of the multi-MB cache and no dynamic parameter
+    slices — each step touches the cache through one one-row
+    dynamic_update_slice per layer. The [B, K, T, D] layout is exactly
+    what the kernel consumes, so the carried buffers flow into
+    pallas_call with no relayout copies.
+    """
+    dtype = cache_dtype or jnp.dtype(cfg.dtype)
+    L = cfg.decoder_layers
+    B, Tenc, D = enc_hidden.shape
+
+    layers = []
+    for i in range(L):
+        lp = jax.tree_util.tree_map(lambda a: a[i],
+                                    params["decoder"]["layers"])
+        k = dense(enc_hidden, lp["encoder_attn"]["k_kernel"],
+                  lp["encoder_attn"]["k_bias"], dtype)
+        v = dense(enc_hidden, lp["encoder_attn"]["v_kernel"],
+                  lp["encoder_attn"]["v_bias"], dtype)
+        layers.append({
+            "self_k": jnp.zeros((B, num_beams, max_len, D), dtype),
+            "self_v": jnp.zeros((B, num_beams, max_len, D), dtype),
+            "cross_k": k.astype(dtype),
+            "cross_v": v.astype(dtype),
+        })
+    return tuple(layers)
+
+
+def decode_step_stationary(params, cfg: MultiModalBartConfig, token_ids,
+                           caches, cache_index, sel, enc_attention_mask=None,
+                           num_beams=1):
+    """One incremental decoder step over a beam-stationary cache.
+
+    Beam parent history is resolved *inside* the self-attention
+    (ops/pallas_beam_attention.py): the cache rows never move; ``sel``
+    (from ``build_selection_mask``) carries the ancestry one-hot. The only
+    cache write per layer is this step's own K/V row.
+
+    token_ids: [BK, 1]; caches: tuple from init_decode_cache_layers;
+    Returns (hidden [BK, 1, D], updated caches).
+    """
+    from kmbart_tpu.ops.pallas_beam_attention import (
+        beam_attention_supported, beam_gather_attention,
+        beam_gather_attention_reference)
+
+    dtype = jnp.dtype(cfg.dtype)
+    act = ACTIVATIONS[cfg.activation_function]
+    H = cfg.decoder_attention_heads
+    B, K, max_len, D = caches[0]["self_k"].shape
+    scale = (D // H) ** -0.5
+
+    x, _ = _decoder_embed(params, cfg, token_ids, cache_index, False, None)
+    cross_bias = None if enc_attention_mask is None \
+        else padding_bias(enc_attention_mask)
+    use_kernel = beam_attention_supported(num_beams, H, D // H, max_len)
+
+    new_caches = []
+    for i in range(cfg.decoder_layers):
+        lp = jax.tree_util.tree_map(lambda a: a[i],
+                                    params["decoder"]["layers"])
+        cache = caches[i]
+
+        residual = x
+        sa = lp["self_attn"]
+        qkv_kernel = jnp.concatenate(
+            [sa["q_kernel"], sa["k_kernel"], sa["v_kernel"]], axis=1)
+        qkv_bias = jnp.concatenate([sa["q_bias"], sa["k_bias"], sa["v_bias"]])
+        q, k_new, v_new = jnp.split(
+            dense(x, qkv_kernel, qkv_bias, dtype), 3, axis=-1)  # [BK, 1, D]
+        q_flat = (q[:, 0, :] * scale)
+        cdt = cache["self_k"].dtype
+
+        self_k = jax.lax.dynamic_update_slice(
+            cache["self_k"], k_new.astype(cdt).reshape(B, K, 1, D),
+            (0, 0, cache_index, 0))
+        self_v = jax.lax.dynamic_update_slice(
+            cache["self_v"], v_new.astype(cdt).reshape(B, K, 1, D),
+            (0, 0, cache_index, 0))
+        attend = beam_gather_attention if use_kernel \
+            else beam_gather_attention_reference
+        attn = attend(q_flat, self_k, self_v, sel,
+                      num_beams=num_beams, num_heads=H)
+        cache_update = dict(self_k=self_k, self_v=self_v)
+        h = dense(attn[:, None, :], sa["o_kernel"], sa["o_bias"], dtype)
+        x = layer_norm(residual + h, lp["self_attn_layer_norm"]["scale"],
+                       lp["self_attn_layer_norm"]["bias"])
+
+        residual = x
+        h, _ = multi_head_attention(
+            lp["encoder_attn"], x, bias=cross_bias, num_heads=H,
+            dtype=dtype, cache={"k": cache["cross_k"], "v": cache["cross_v"]},
+            cache_index=None)
+        x = layer_norm(residual + h, lp["encoder_attn_layer_norm"]["scale"],
+                       lp["encoder_attn_layer_norm"]["bias"])
+
+        x = _residual_ffn(x, lp, cfg, {}, False, dtype, act)
+        new_caches.append(dict(cache, **cache_update))
+
+    if cfg.add_final_layer_norm:
+        ln = params["decoder"]["layer_norm"]
+        x = layer_norm(x, ln["scale"], ln["bias"])
+    return x, tuple(new_caches)
+
+
 def lm_logits(params, cfg: MultiModalBartConfig, hidden, final_logits_bias=None,
               logits_dtype=jnp.float32):
     """Tied LM head: hidden @ shared.T + final_logits_bias
