@@ -5,9 +5,10 @@ the reference's north-star component is the token-by-token HF 3.0.2 beam
 loop (SURVEY.md §3.3); ours is a single jitted lax.while_loop on TPU.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
-The decode sweep covers batch {32, 64} and reports the peak configuration
-(round-1 sweeps showed 64 is the throughput peak; larger batches lose to
-the top-k's linear cost). Extra fields: the winning batch size, per-token
+The decode sweep covers batch {64, 96} and reports the peak configuration
+(round-2 sweeps with the beam-stationary cache peak at ~96-112; 128
+degrades, 80 hits a pathological tiling). Extra fields: the winning batch
+size, per-token
 decode step time, train throughput, and train MFU (model FLOPs / v5e bf16
 peak — see BASELINE.md for the formula and for how this differs from the
 profiler's MXU-busy fraction).
@@ -30,7 +31,7 @@ ENC_LEN = 72
 DEC_LEN = 40
 MAX_LEN = 32
 BEAMS = 5
-DECODE_BATCHES = (32, 64)
+DECODE_BATCHES = (64, 96)
 TRAIN_BATCHES = (32, 128)
 
 # BASELINE.md "Reference throughput anchor": estimated HF 3.0.2 beam-5
