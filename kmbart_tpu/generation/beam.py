@@ -38,7 +38,12 @@ import jax.numpy as jnp
 from kmbart_tpu.models import bart
 from kmbart_tpu.generation import logits as lp
 from kmbart_tpu.ops.pallas_beam_attention import build_selection_mask
-from kmbart_tpu.ops.topk import exact_top_k
+from kmbart_tpu.ops.pallas_vocab_stats import (chunk_stats,
+                                               chunk_stats_reference,
+                                               chunk_stats_supported,
+                                               logsumexp_from_stats)
+from kmbart_tpu.ops.topk import (exact_top_k, pad_to_chunks,
+                                 topk_from_chunk_stats)
 
 NEG_1E9 = -1e9
 
@@ -170,8 +175,16 @@ def beam_search_loop(params, cfg, fbias, enc_hidden, enc_mask, rng, *,
             logits = logits / temperature
 
         if fast_select:
-            row_vals, row_idx = exact_top_k(logits, 2 * K)      # [BK, 2K]
-            lse = jax.scipy.special.logsumexp(logits, axis=-1)  # [BK]
+            # one pipelined pass produces per-chunk maxima AND exp-sums:
+            # the logsumexp and the top-k's chunk-max build share it (the
+            # XLA version cost three separate full reads per step)
+            xr = pad_to_chunks(logits)                          # [BK, C, ch]
+            if chunk_stats_supported(BK):
+                cm, es = chunk_stats(xr)
+            else:
+                cm, es = chunk_stats_reference(xr)
+            lse = logsumexp_from_stats(cm, es)                  # [BK]
+            row_vals, row_idx = topk_from_chunk_stats(xr, cm, 2 * K)
             norm = (row_vals - lse[:, None]) + beam_scores.reshape(BK, 1)
             merged = norm.reshape(B, K * 2 * K)
             beam_base = (jnp.arange(K, dtype=jnp.int32) * V)[None, :, None]

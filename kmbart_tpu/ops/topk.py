@@ -96,6 +96,62 @@ def _chunk_max_top_k(x, k, chunk=1024, unroll=True):
     return state[0], state[1]
 
 
+def pad_to_chunks(x, chunk=1024):
+    """[B, N] -> [B, C, chunk] padded reshape (NEG_INF fill)."""
+    B, N = x.shape
+    C = -(-N // chunk)
+    if C * chunk != N:
+        x = jnp.pad(x, ((0, 0), (0, C * chunk - N)), constant_values=NEG_INF)
+    return x.reshape(B, C, chunk)
+
+
+def topk_from_chunk_stats(xr, cm, k, unroll=True):
+    """Greedy exact top-k over a [B, C, chunk] view with the one full-read
+    cm pass supplied by the caller (fused with the logsumexp stats in
+    ops/pallas_vocab_stats.py — one pipelined pass instead of three).
+    Same algorithm and tie-breaking as _chunk_max_top_k.
+
+    A padless variant that gathered clamped tail windows with
+    take_along_axis measured ~8x SLOWER end-to-end on v5e: computed-index
+    gathers lower to scalar loads, while the [B, C, chunk] row gather is
+    a fast vector path — the padded copy is the cheaper evil.
+    """
+    B, C, chunk = xr.shape
+    rows = jnp.arange(B)
+    col = jnp.arange(chunk)
+
+    def body(t, state):
+        vals, idxs, cm, taken_c, taken_p = state
+        c_star = jnp.argmax(cm, axis=1)                # [B]
+        ch = xr[rows, c_star]                          # [B, chunk]
+        same_chunk = taken_c == c_star[:, None]        # [B, k]
+        taken_mask = jnp.any(
+            same_chunk[:, None, :] & (taken_p[:, None, :] == col[None, :, None]),
+            axis=-1)                                   # [B, chunk]
+        ch = jnp.where(taken_mask, NEG_INF, ch)
+        p = jnp.argmax(ch, axis=1)
+        v = jnp.take_along_axis(ch, p[:, None], axis=1)[:, 0]
+        vals = vals.at[:, t].set(v)
+        idxs = idxs.at[:, t].set((c_star * chunk + p).astype(jnp.int32))
+        taken_c = taken_c.at[:, t].set(c_star.astype(jnp.int32))
+        taken_p = taken_p.at[:, t].set(p.astype(jnp.int32))
+        ch = jnp.where(col[None, :] == p[:, None], NEG_INF, ch)
+        cm = cm.at[rows, c_star].set(jnp.max(ch, axis=1))
+        return vals, idxs, cm, taken_c, taken_p
+
+    vals = jnp.zeros((B, k), xr.dtype)
+    idxs = jnp.zeros((B, k), jnp.int32)
+    taken_c = jnp.full((B, k), -1, jnp.int32)
+    taken_p = jnp.full((B, k), -1, jnp.int32)
+    state = (vals, idxs, cm, taken_c, taken_p)
+    if unroll:
+        for t in range(k):
+            state = body(t, state)
+    else:
+        state = jax.lax.fori_loop(0, k, body, state)
+    return state[0], state[1]
+
+
 def _iterative_top_k(x, k):
     """k passes of (argmax + mask); the default for huge rows."""
     B, N = x.shape
