@@ -165,6 +165,28 @@ def bart_base_config(**overrides) -> MultiModalBartConfig:
     return MultiModalBartConfig(**base)
 
 
+def bart_large_config(**overrides) -> MultiModalBartConfig:
+    """BART-large dims (facebook/bart-large): the reference's partial-load
+    path (src/model/mixins.py:511-530) accepts large checkpoints the same
+    way as base; everything here (scan-stacked layers, beam-stationary
+    decode, TP shardings) is dimension-agnostic."""
+    base = dict(
+        d_model=1024,
+        encoder_layers=12,
+        decoder_layers=12,
+        encoder_attention_heads=16,
+        decoder_attention_heads=16,
+        encoder_ffn_dim=4096,
+        decoder_ffn_dim=4096,
+        num_labels=1601,
+        num_attributes=129,
+        num_relations=129,
+        lm_loss_factor=5.0,
+    )
+    base.update(overrides)
+    return MultiModalBartConfig(**base)
+
+
 def tiny_config(**overrides) -> MultiModalBartConfig:
     """A tiny config for tests: 2 layers, small dims, toy vocab."""
     base = dict(

@@ -244,6 +244,36 @@ def test_exact_top_k_matches_lax(np_rng):
     np.testing.assert_array_equal(np.asarray(i3), np.asarray(i4))
 
 
+def test_chunk_stats_select_path(np_rng):
+    """The fused stats path (pad -> chunk stats -> lse + topk-from-stats)
+    must reproduce lax.top_k (incl. tie order) and logsumexp exactly."""
+    import jax.numpy as jnp
+    from kmbart_tpu.ops.pallas_vocab_stats import (chunk_stats_reference,
+                                                   logsumexp_from_stats)
+    from kmbart_tpu.ops.topk import pad_to_chunks, topk_from_chunk_stats
+
+    for B, N in ((8, 50320), (4, 5000), (3, 4096)):
+        x = jnp.asarray(np_rng.normal(size=(B, N)).astype(np.float32) * 5)
+        xr = pad_to_chunks(x)
+        cm, es = chunk_stats_reference(xr)
+        lse = np.asarray(logsumexp_from_stats(cm, es))
+        np.testing.assert_allclose(
+            lse, np.asarray(jax.scipy.special.logsumexp(x, axis=-1)),
+            rtol=1e-5)
+        v, i = topk_from_chunk_stats(xr, cm, 10)
+        rv, ri = jax.lax.top_k(x, 10)
+        np.testing.assert_allclose(np.asarray(v), np.asarray(rv), rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
+    # duplicated values across chunks keep the lowest-index order
+    x = jnp.zeros((2, 3000)).at[0, 2500].set(5.).at[0, 100].set(5.) \
+        .at[1, 2999].set(3.).at[1, 0].set(3.)
+    xr = pad_to_chunks(x)
+    cm, es = chunk_stats_reference(xr)
+    _, i = topk_from_chunk_stats(xr, cm, 4)
+    _, ri = jax.lax.top_k(x, 4)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
+
+
 def test_exact_top_k_tie_torture(np_rng):
     """Chunk-max selection: duplicates inside one chunk, across chunks, and
     straddling chunk boundaries must keep lax.top_k's lowest-index order."""

@@ -97,56 +97,3 @@ def test_flash_gradients_match_xla(np_rng):
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5)
-
-
-def test_pallas_top_k_matches_lax(np_rng):
-    from kmbart_tpu.ops.pallas_topk import pallas_top_k
-    x = np_rng.normal(size=(3, 4096)).astype(np.float32)
-    x[0, 77] = x[0, 203] = 11.0  # ties -> lowest index
-    x[1, -1] = 50.0
-    v1, i1 = jax.lax.top_k(jnp.asarray(x), 10)
-    v2, i2 = pallas_top_k(jnp.asarray(x), 10, interpret=True)
-    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2))
-    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
-
-
-def test_beam_decode_self_attention_matches_xla(np_rng):
-    """Fused gather+insert+attention step == the XLA op sequence."""
-    import jax
-    import jax.numpy as jnp
-    from kmbart_tpu.ops.pallas_decode_attention import (
-        beam_decode_self_attention)
-
-    B, T, D, H = 10, 16, 128, 4
-    hd = D // H
-    kc = np_rng.normal(size=(B, T, D)).astype(np.float32)
-    vc = np_rng.normal(size=(B, T, D)).astype(np.float32)
-    nk = np_rng.normal(size=(B, D)).astype(np.float32)
-    nv = np_rng.normal(size=(B, D)).astype(np.float32)
-    q = (np_rng.normal(size=(B, D)) * hd ** -0.5).astype(np.float32)
-    ridx = np_rng.permutation(B).astype(np.int32)
-    ci = 7
-
-    out, ck, cv = beam_decode_self_attention(
-        jnp.asarray(q), jnp.asarray(kc, jnp.bfloat16),
-        jnp.asarray(vc, jnp.bfloat16), jnp.asarray(nk), jnp.asarray(nv),
-        ci, ridx, num_heads=H, interpret=True)
-
-    k = kc[ridx].copy()
-    v = vc[ridx].copy()
-    k[:, ci] = nk
-    v[:, ci] = nv
-    qb = q.reshape(B, H, hd).astype(jnp.bfloat16).astype(np.float32)
-    kb = k.reshape(B, T, H, hd).astype(jnp.bfloat16).astype(np.float32)
-    scores = np.einsum("bhd,bthd->bht", qb, kb)
-    scores[:, :, ci + 1:] = -1e9
-    e = np.exp(scores - scores.max(-1, keepdims=True))
-    p = (e / e.sum(-1, keepdims=True))
-    ref_out = np.einsum("bht,bthd->bhd", p,
-                        v.reshape(B, T, H, hd)).reshape(B, D)
-
-    np.testing.assert_allclose(np.asarray(out), ref_out, atol=2e-2)
-    np.testing.assert_array_equal(
-        np.asarray(ck), np.asarray(jnp.asarray(k, jnp.bfloat16)))
-    np.testing.assert_array_equal(
-        np.asarray(cv), np.asarray(jnp.asarray(v, jnp.bfloat16)))
