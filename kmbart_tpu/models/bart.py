@@ -561,8 +561,11 @@ def decode_step_stationary(params, cfg: MultiModalBartConfig, token_ids,
             (0, 0, cache_index, 0))
         attend = beam_gather_attention if use_kernel \
             else beam_gather_attention_reference
+        # 4 samples per kernel program amortise per-program overhead
+        # (473 vs 452 sent/s at the beam bench, S=8 regresses to 454)
+        kw = {"samples_per_block": 4} if use_kernel else {}
         attn = attend(q_flat, self_k, self_v, sel,
-                      num_beams=num_beams, num_heads=H)
+                      num_beams=num_beams, num_heads=H, **kw)
         cache_update = dict(self_k=self_k, self_v=self_v)
         h = dense(attn[:, None, :], sa["o_kernel"], sa["o_bias"], dtype)
         x = layer_norm(residual + h, lp["self_attn_layer_norm"]["scale"],

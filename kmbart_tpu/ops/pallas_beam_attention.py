@@ -123,11 +123,11 @@ def beam_gather_attention_reference(q, k_cache, v_cache, sel, *, num_beams,
 # Pallas kernel
 # ---------------------------------------------------------------------------
 
-def _attend(k, v, q, sel, out_ref, *, num_beams, num_heads):
+def _attend(k, v, q, sel, *, num_beams, num_heads):
     """Shared attention math (see module docstring for the head trick).
 
     k, v: [K*T, D] bf16; q: [K, D]; sel: [K*T, K*H] bf16 one-hot;
-    writes [1, K, D] f32 into out_ref.
+    returns [K, D] f32.
     """
     K = num_beams
     H = num_heads
@@ -170,41 +170,45 @@ def _attend(k, v, q, sel, out_ref, *, num_beams, num_heads):
     g_row = jax.lax.broadcasted_iota(jnp.int32, (K, K * H), 0)
     g_col = jax.lax.broadcasted_iota(jnp.int32, (K, K * H), 1)
     group = (g_col // H == g_row)
-    out_ref[0] = jax.lax.dot(group.astype(jnp.bfloat16),
-                             av.astype(jnp.bfloat16),
-                             preferred_element_type=jnp.float32)  # [K, D]
+    return jax.lax.dot(group.astype(jnp.bfloat16),
+                       av.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)  # [K, D]
 
 
 def _kernel(k_ref, v_ref, q_ref, sel_ref, out_ref, *, num_beams, num_heads):
     K = num_beams
-    _, _, T, D = k_ref.shape
-    _attend(k_ref[0].reshape(K * T, D), v_ref[0].reshape(K * T, D),
-            q_ref[0], sel_ref[0], out_ref, num_beams=K, num_heads=num_heads)
+    S, _, T, D = k_ref.shape
+    for s in range(S):  # static unroll over the samples of this block
+        out_ref[s] = _attend(
+            k_ref[s].reshape(K * T, D), v_ref[s].reshape(K * T, D),
+            q_ref[s], sel_ref[s], num_beams=K, num_heads=num_heads)
 
 
 def beam_gather_attention(q, k_cache, v_cache, sel, *, num_beams, num_heads,
-                          interpret=False):
+                          samples_per_block=1, interpret=False):
     """Fused beam-stationary decode self-attention.
 
     q: [B*K, D] scaled queries; k_cache/v_cache: [B, K, T, D] bf16 (rows
     never permuted — position cache_index must already hold this step's
     K/V); sel: [B, K*T, K*H] from build_selection_mask.
-    Returns [B*K, D] f32.
+    ``samples_per_block`` amortises per-program overhead over S samples
+    (must divide B). Returns [B*K, D] f32.
     """
     B, K, T, D = k_cache.shape
     assert K == num_beams
+    S = samples_per_block if B % samples_per_block == 0 else 1
     kernel = functools.partial(_kernel, num_beams=K, num_heads=num_heads)
 
     out = pl.pallas_call(
         kernel,
-        grid=(B,),
+        grid=(B // S,),
         in_specs=[
-            pl.BlockSpec((1, K, T, D), lambda b: (b, 0, 0, 0)),  # k tile
-            pl.BlockSpec((1, K, T, D), lambda b: (b, 0, 0, 0)),  # v tile
-            pl.BlockSpec((1, K, D), lambda b: (b, 0, 0)),        # q
-            pl.BlockSpec((1, K * T, K * num_heads), lambda b: (b, 0, 0)),
+            pl.BlockSpec((S, K, T, D), lambda b: (b, 0, 0, 0)),  # k tile
+            pl.BlockSpec((S, K, T, D), lambda b: (b, 0, 0, 0)),  # v tile
+            pl.BlockSpec((S, K, D), lambda b: (b, 0, 0)),        # q
+            pl.BlockSpec((S, K * T, K * num_heads), lambda b: (b, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, K, D), lambda b: (b, 0, 0)),
+        out_specs=pl.BlockSpec((S, K, D), lambda b: (b, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, K, D), jnp.float32),
         interpret=interpret,
     )(k_cache, v_cache, q.reshape(B, K, D), sel)
