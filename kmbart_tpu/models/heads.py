@@ -67,7 +67,13 @@ def _masked_nll_sum_fwd(logits, safe_labels, valid):
     m = jnp.max(lf, axis=-1)
     se = jnp.sum(jnp.exp(lf - m[..., None]), axis=-1)
     lse = jnp.log(se) + m
-    ll = jnp.take_along_axis(lf, safe_labels[..., None], axis=-1)[..., 0]
+    # gather the label logit from the RAW logits and upcast the [B, T]
+    # result: gathering from ``lf`` forced XLA to materialise a full fp32
+    # copy of the [B, T, V] logits just to feed the gather (~1.2 ms/step
+    # at the 50320 vocab on v5e; the reduces above fuse into the head
+    # matmul and never need the full tensor)
+    ll = jnp.take_along_axis(logits, safe_labels[..., None],
+                             axis=-1)[..., 0].astype(jnp.float32)
     nll_sum = jnp.sum(jnp.where(valid, lse - ll, 0.0))
     return nll_sum, (logits, safe_labels, valid, m, se)
 
