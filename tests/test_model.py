@@ -203,3 +203,30 @@ def test_grouped_cross_attention_matches_repeat(np_rng):
                "v": jnp.repeat(jnp.asarray(enc_v), K, 0)})
     np.testing.assert_allclose(np.asarray(grouped), np.asarray(repeated),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_dropout_regen_backward_mask_identical():
+    """The regen dropout (ops/layers.py) must apply the SAME mask in
+    forward and backward (custom VJP regenerates it from the key instead
+    of storing it), scale kept values by 1/keep, and be an identity when
+    not training."""
+    import jax
+    import jax.numpy as jnp
+    from kmbart_tpu.ops.layers import dropout
+
+    k = jax.random.PRNGKey(11)
+    x = jnp.ones((64, 256), jnp.float32)
+    y = dropout(x, 0.3, k, True)
+    kept = np.asarray(y > 0)
+    assert 0.6 < kept.mean() < 0.8
+    np.testing.assert_allclose(np.asarray(y)[kept], 1.0 / 0.7, rtol=1e-6)
+
+    g = jax.grad(lambda x: jnp.sum(dropout(x, 0.3, k, True) * 3.0))(x)
+    np.testing.assert_array_equal(np.asarray(g > 0), kept)
+    np.testing.assert_allclose(np.asarray(g)[kept], 3.0 / 0.7, rtol=1e-6)
+
+    np.testing.assert_array_equal(np.asarray(dropout(x, 0.3, k, False)),
+                                  np.asarray(x))
+    # under jit too (the hot path)
+    y2 = jax.jit(lambda x: dropout(x, 0.3, k, True))(x)
+    np.testing.assert_array_equal(np.asarray(y2), np.asarray(y))

@@ -189,6 +189,11 @@ def test_nonfinite_guard(tiny_cfg, np_rng):
     for a, b in zip(jax.tree.leaves(state.params),
                     jax.tree.leaves(new_state.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the guard is fused inside adamw (ok=...): moments and the adam step
+    # counter must also keep their previous values on a skipped update
+    for a, b in zip(jax.tree.leaves(state.opt_state),
+                    jax.tree.leaves(new_state.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     # a good batch still updates
     new_state2, metrics2 = step(new_state, device_arrays(batch),
                                 jax.random.PRNGKey(0))
