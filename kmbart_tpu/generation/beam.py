@@ -203,15 +203,42 @@ def beam_search_loop(params, cfg, fbias, enc_hidden, enc_mask, rng, *,
 
         if do_sample:
             _scores = scores + beam_scores.reshape(BK, 1)
-            _scores = lp.top_k_top_p_filtering(_scores, top_k, top_p,
-                                               min_tokens_to_keep=2)
-            flat = _scores.reshape(B, K * V)
             rng, sub = jax.random.split(rng)
-            # Gumbel top-k == multinomial sampling without replacement
-            gumbel = jax.random.gumbel(sub, flat.shape, jnp.float32)
-            _, cand_idx = exact_top_k(
-                jnp.where(flat > NEG_1E9 / 2, flat + gumbel, -jnp.inf), 2 * K)
-            cand_scores = jnp.take_along_axis(flat, cand_idx, axis=1)
+            if top_k and top_k > 0:
+                # restrict to each row's top-k candidates before the
+                # Gumbel draw: tokens masked by the filter carry zero
+                # probability either way, so sampling over [B, K*kk]
+                # candidates is distribution-identical to the full
+                # [B, K*V] draw — and the full-vocab gumbel noise was the
+                # dominant per-step cost (see lp.sample_from_top_k)
+                kk = max(top_k, 2)
+                vals, vidx = exact_top_k(_scores, kk)   # [BK, kk] desc
+                if top_p < 1.0:
+                    cum = jnp.cumsum(jax.nn.softmax(vals, axis=-1), axis=-1)
+                    remove = cum > top_p
+                    remove = jnp.concatenate(
+                        [jnp.zeros_like(remove[:, :1]), remove[:, :-1]],
+                        axis=-1).at[:, :2].set(False)  # min_tokens_to_keep=2
+                    vals = jnp.where(remove, NEG_1E9, vals)
+                beam_of_row = (jnp.arange(BK, dtype=jnp.int32) % K)[:, None]
+                flat = vals.reshape(B, K * kk)
+                flat_gidx = (beam_of_row * V + vidx).reshape(B, K * kk)
+                gumbel = jax.random.gumbel(sub, flat.shape, jnp.float32)
+                _, pos = jax.lax.top_k(
+                    jnp.where(flat > NEG_1E9 / 2, flat + gumbel, -jnp.inf),
+                    2 * K)
+                cand_scores = jnp.take_along_axis(flat, pos, axis=1)
+                cand_idx = jnp.take_along_axis(flat_gidx, pos, axis=1)
+            else:
+                _scores = lp.top_k_top_p_filtering(_scores, top_k, top_p,
+                                                   min_tokens_to_keep=2)
+                flat = _scores.reshape(B, K * V)
+                # Gumbel top-k == multinomial sampling without replacement
+                gumbel = jax.random.gumbel(sub, flat.shape, jnp.float32)
+                _, cand_idx = exact_top_k(
+                    jnp.where(flat > NEG_1E9 / 2, flat + gumbel, -jnp.inf),
+                    2 * K)
+                cand_scores = jnp.take_along_axis(flat, cand_idx, axis=1)
             order = jnp.argsort(-cand_scores, axis=1)
             cand_scores = jnp.take_along_axis(cand_scores, order, axis=1)
             cand_idx = jnp.take_along_axis(cand_idx, order, axis=1)

@@ -54,9 +54,14 @@ def greedy_or_sample_loop(params, cfg, fbias, enc_hidden, enc_mask, rng, *,
         if do_sample:
             if temperature != 1.0:
                 scores = scores / temperature
-            scores = lp.top_k_top_p_filtering(scores, top_k, top_p)
             rng, sub = jax.random.split(rng)
-            next_token = jax.random.categorical(sub, scores, axis=-1)
+            if top_k and top_k > 0:
+                # sample among the k candidates directly — no full-vocab
+                # gumbel noise / filter materialisation (lp.sample_from_top_k)
+                next_token = lp.sample_from_top_k(scores, top_k, top_p, sub)
+            else:
+                scores = lp.top_k_top_p_filtering(scores, top_k, top_p)
+                next_token = jax.random.categorical(sub, scores, axis=-1)
         else:
             next_token = jnp.argmax(scores, axis=-1)
         next_token = next_token.astype(jnp.int32)

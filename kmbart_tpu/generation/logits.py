@@ -116,6 +116,37 @@ def postprocess_scores(scores, tokens, cur_len, *, repetition_penalty=1.0,
     return scores
 
 
+def sample_from_top_k(logits, top_k, top_p, rng, min_tokens_to_keep=1):
+    """Categorical sample restricted to the per-row top-k candidates.
+
+    Distribution-identical to ``top_k_top_p_filtering`` + full-vocab
+    ``jax.random.categorical`` (masked tokens carry zero probability
+    either way) but draws the categorical over [B, k] instead of
+    [B, vocab] — the full-vocab gumbel noise was the dominant per-step
+    cost of the sampling decode loop on v5e (~13 ms of a 21 ms step at
+    batch 256). One deviation from the HF filter: exact value ties AT the
+    k-th rank keep only the lowest-index k tokens rather than the whole
+    tied group — probability-mass-identical for the sampled distribution
+    up to which of the bit-equal candidates can be drawn.
+    Returns int32 [B] sampled token ids.
+    """
+    from kmbart_tpu.ops.topk import exact_top_k
+
+    k = max(top_k, min_tokens_to_keep)
+    vals, idx = exact_top_k(logits, k)                 # sorted descending
+    if top_p < 1.0:
+        cum = jnp.cumsum(jax.nn.softmax(vals, axis=-1), axis=-1)
+        remove = cum > top_p
+        remove = jnp.concatenate(
+            [jnp.zeros_like(remove[:, :1]), remove[:, :-1]], axis=-1)
+        if min_tokens_to_keep > 1:
+            remove = remove.at[:, :min_tokens_to_keep].set(False)
+        vals = jnp.where(remove, NEG_INF, vals)
+    slot = jax.random.categorical(rng, vals, axis=-1)
+    return jnp.take_along_axis(
+        idx, slot[:, None], axis=-1)[:, 0].astype(jnp.int32)
+
+
 def top_k_top_p_filtering(logits, top_k=0, top_p=1.0, min_tokens_to_keep=1):
     """HF 3.0.2 top_k_top_p_filtering. top_k/top_p static python values."""
     vocab = logits.shape[-1]
