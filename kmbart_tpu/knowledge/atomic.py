@@ -93,10 +93,17 @@ class AtomicGenerator:
                                              n_heads)
                 logits = gpt.gpt_logits(params, hidden)[:, 0, :]
                 if do_sample:
-                    from kmbart_tpu.generation.logits import top_k_top_p_filtering
-                    logits = top_k_top_p_filtering(logits, topk, 1.0)
                     rng, sub = jax.random.split(rng)
-                    nxt = jax.random.categorical(sub, logits).astype(jnp.int32)
+                    if topk and topk > 0:
+                        from kmbart_tpu.generation.logits import (
+                            sample_from_top_k)
+                        nxt = sample_from_top_k(logits, topk, 1.0, sub)
+                    else:
+                        from kmbart_tpu.generation.logits import (
+                            top_k_top_p_filtering)
+                        logits = top_k_top_p_filtering(logits, topk, 1.0)
+                        nxt = jax.random.categorical(
+                            sub, logits).astype(jnp.int32)
                 else:
                     nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
                 nxt = nxt * unfinished

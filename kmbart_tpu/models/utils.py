@@ -50,13 +50,32 @@ def _build(cfg, top_k, top_p, max_length, bos, eos, pad):
             hidden, cache = bart.decode_step(model, cfg, prev, cache,
                                              cur_len - 1, attention_mask)
             raw = bart.lm_logits(model, cfg, hidden, fbias)[:, 0, :]
-            filtered = lp.top_k_top_p_filtering(raw, top_k, top_p)
             rng, sub = jax.random.split(rng)
-            next_token = jax.random.categorical(sub, filtered).astype(jnp.int32)
-            # per-token log-prob over the filtered distribution
-            # (src/model/utils.py:34-36)
-            logp = jax.nn.log_softmax(filtered, axis=-1)
-            tok_lp = jnp.take_along_axis(logp, next_token[:, None], axis=1)[:, 0]
+            if top_k and top_k > 0:
+                # draw over the k candidates only; the per-token log-prob
+                # over the filtered distribution (src/model/utils.py:34-36)
+                # comes from the same small [B, k] values
+                from kmbart_tpu.ops.topk import exact_top_k
+                vals, idx = exact_top_k(raw, top_k)
+                if top_p < 1.0:
+                    cum = jnp.cumsum(jax.nn.softmax(vals, axis=-1), axis=-1)
+                    remove = jnp.concatenate(
+                        [jnp.zeros_like(cum[:, :1], bool),
+                         (cum > top_p)[:, :-1]], axis=-1)
+                    vals = jnp.where(remove, lp.NEG_INF, vals)
+                slot = jax.random.categorical(sub, vals)
+                next_token = jnp.take_along_axis(
+                    idx, slot[:, None], axis=1)[:, 0].astype(jnp.int32)
+                tok_lp = jnp.take_along_axis(
+                    jax.nn.log_softmax(vals, axis=-1),
+                    slot[:, None], axis=1)[:, 0]
+            else:
+                filtered = lp.top_k_top_p_filtering(raw, top_k, top_p)
+                next_token = jax.random.categorical(
+                    sub, filtered).astype(jnp.int32)
+                logp = jax.nn.log_softmax(filtered, axis=-1)
+                tok_lp = jnp.take_along_axis(
+                    logp, next_token[:, None], axis=1)[:, 0]
             logprobs = logprobs.at[:, cur_len].set(
                 jnp.where(unfinished > 0, tok_lp, 0.0))
 
