@@ -292,3 +292,24 @@ def test_exact_top_k_tie_torture(np_rng):
     v, i = _chunk_max_top_k(jnp.asarray(x[2:]), 10)
     assert np.asarray(i)[0, 0] == 7 and np.asarray(v)[0, 0] == 1.0
     assert np.all(np.asarray(v)[0, 1:] == -np.inf)
+
+
+def test_sample_from_top_k_kept_set(np_rng):
+    """sample_from_top_k must only ever emit tokens the reference
+    top_k_top_p_filtering would keep, and its internal top-p mask must
+    match the filter's kept set exactly (no boundary off-by-one)."""
+    import jax.numpy as jnp
+    from kmbart_tpu.generation import logits as lp
+
+    x = np_rng.normal(size=(6, 2000)).astype(np.float32) * 3
+    for top_k, top_p in ((50, 1.0), (50, 0.9), (8, 0.5)):
+        ref = np.asarray(lp.top_k_top_p_filtering(
+            jnp.asarray(x), top_k, top_p))
+        kept = set(map(tuple, np.argwhere(np.isfinite(ref))))
+        draws = set()
+        for seed in range(40):
+            tok = np.asarray(lp.sample_from_top_k(
+                jnp.asarray(x), top_k, top_p, jax.random.PRNGKey(seed)))
+            for b, t in enumerate(tok):
+                draws.add((b, int(t)))
+        assert draws <= kept, (top_k, top_p, sorted(draws - kept)[:5])
