@@ -13,6 +13,7 @@ the data-parallel mesh (parallel/mesh.py): each process loads only its slice
 of the global batch.
 """
 
+import multiprocessing
 from collections import deque
 from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 
@@ -151,9 +152,13 @@ class DataLoader:
         # GIL-bound Python, so ``use_processes=True`` runs collation in worker
         # processes (dataset/collator shipped once via the pool initializer).
         if self.use_processes:
+            # spawn, not fork: the parent holds JAX's multithreaded runtime,
+            # and forking a multithreaded process can deadlock the child
+            # (os.fork warnings under pytest were the symptom)
             pool = ProcessPoolExecutor(
                 max_workers=self.num_workers, initializer=_worker_init,
-                initargs=(self.dataset, self.collate_fn))
+                initargs=(self.dataset, self.collate_fn),
+                mp_context=multiprocessing.get_context("spawn"))
             submit = lambda b: pool.submit(_worker_load, b)
         else:
             pool = ThreadPoolExecutor(max_workers=self.num_workers)

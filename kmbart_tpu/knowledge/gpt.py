@@ -20,7 +20,7 @@ from kmbart_tpu.ops.layers import dense, gelu, layer_norm
 
 def init_gpt_params(rng, n_vocab, n_ctx, d_model=768, n_layers=12, n_heads=12,
                     init_std=0.02):
-    keys = jax.random.split(rng, 3)
+    keys = jax.random.split(rng, 4)
     n_embed = n_vocab + n_ctx  # positions live in the embedding table
     L, D = n_layers, d_model
     lk = jax.random.split(keys[1], 4)
@@ -38,7 +38,7 @@ def init_gpt_params(rng, n_vocab, n_ctx, d_model=768, n_layers=12, n_heads=12,
         "ln1": {"scale": jnp.ones((L, D)), "bias": jnp.zeros((L, D))},
         "fc_kernel": jax.random.normal(keys[2], (L, D, 4 * D)) * init_std,
         "fc_bias": jnp.zeros((L, 4 * D)),
-        "proj_kernel": jax.random.normal(keys[0], (L, 4 * D, D)) * init_std,
+        "proj_kernel": jax.random.normal(keys[3], (L, 4 * D, D)) * init_std,
         "proj_bias": jnp.zeros((L, D)),
         "ln2": {"scale": jnp.ones((L, D)), "bias": jnp.zeros((L, D))},
     }

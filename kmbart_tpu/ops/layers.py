@@ -64,6 +64,11 @@ def layer_norm(x, scale, bias, eps=1e-5, out_dtype=None):
     return y.astype(out_dtype)
 
 
+def _dropout_threshold(rate):
+    """uint8 keep threshold; actual keep probability is (threshold+1)/256."""
+    return min(255, int(round((1.0 - rate) * 256)) - 1)
+
+
 def _dropout_mask(rng, rate, shape):
     """Keep-mask from the hardware RNG.
 
@@ -75,8 +80,7 @@ def _dropout_mask(rng, rate, shape):
     rates). Deterministic per (key, shape) within a backend, which is all
     dropout needs — parameter-noise reproducibility stays threefry.
     """
-    keep = 1.0 - rate
-    threshold = jnp.uint8(min(255, int(round(keep * 256)) - 1))
+    threshold = jnp.uint8(_dropout_threshold(rate))
     data = jax.random.key_data(rng).reshape(-1)
     rbg = jax.random.wrap_key_data(jnp.concatenate([data, data]), impl="rbg")
     return jax.random.bits(rbg, shape, dtype=jnp.uint8) <= threshold
@@ -84,7 +88,10 @@ def _dropout_mask(rng, rate, shape):
 
 def _dropout_apply(x, rate, rng):
     mask = _dropout_mask(rng, rate, x.shape)
-    scale = jnp.asarray(1.0 / (1.0 - rate), x.dtype)
+    # scale by the QUANTISED keep probability (threshold+1)/256, not the
+    # exact 1/(1-rate) — the mask keeps (threshold+1)/256 of elements, so
+    # this is what makes E[dropout(x)] == x hold exactly
+    scale = jnp.asarray(256.0 / (_dropout_threshold(rate) + 1), x.dtype)
     return jnp.where(mask, x * scale, 0).astype(x.dtype)
 
 

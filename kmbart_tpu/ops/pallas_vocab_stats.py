@@ -25,11 +25,19 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
+# Finite floor for the exp-shift: chunks that are ENTIRELY -inf (e.g. the
+# ~49 non-forced-token chunks produced by generation/logits.force_token at
+# the forced-BOS/EOS steps) have cm == -inf, and the naive
+# exp(x - cm) = exp(-inf - -inf) = NaN would poison every row's logsumexp.
+# Shifting by max(cm, FINITE_MIN) instead gives exp(-inf - finite) == 0,
+# so all--inf chunks contribute es == 0 exactly.
+FINITE_MIN = -3.0e38
+
 
 def chunk_stats_reference(xr):
     """Pure-XLA fallback (CPU path): (cm, es) over a [B, C, chunk] view."""
     cm = jnp.max(xr, axis=-1)
-    es = jnp.sum(jnp.exp(xr - cm[..., None]), axis=-1)
+    es = jnp.sum(jnp.exp(xr - jnp.maximum(cm, FINITE_MIN)[..., None]), axis=-1)
     return cm, es
 
 
@@ -39,7 +47,7 @@ def _stats_kernel(x_ref, cm_ref, es_ref):
     B = x.shape[0]
     C = cm_ref.shape[1]
     m = jnp.max(x, axis=1, keepdims=True)              # [B, 1]
-    e = jnp.sum(jnp.exp(x - m), axis=1, keepdims=True)
+    e = jnp.sum(jnp.exp(x - jnp.maximum(m, FINITE_MIN)), axis=1, keepdims=True)
 
     # lane-dim dynamic single-column stores need 128-alignment, so write
     # the whole [B, C] stat tiles through a one-hot select (tiny VPU op)
@@ -49,18 +57,20 @@ def _stats_kernel(x_ref, cm_ref, es_ref):
     es_ref[...] = jnp.where(at_c, e, es_ref[...])
 
 
-def chunk_stats(xr):
+def chunk_stats(xr, *, interpret=False):
     """(cm [B, C], es [B, C]) in one pipelined pass over [B, C, chunk].
 
-    TPU only — callers use chunk_stats_reference elsewhere. Padding
-    positions (NEG_INF fill from ops/topk.pad_to_chunks, always fewer
-    than one whole chunk) contribute exp(-inf) = 0 to es and never win
-    the max.
+    TPU only — callers use chunk_stats_reference elsewhere (``interpret``
+    exercises the kernel logic on CPU in tests). Padding positions
+    (NEG_INF fill from ops/topk.pad_to_chunks, always fewer than one
+    whole chunk) contribute exp(-inf) = 0 to es and never win the max;
+    entirely--inf chunks (forced-token steps) yield (cm=-inf, es=0).
     """
     B, C, chunk = xr.shape
     cm, es = pl.pallas_call(
         _stats_kernel,
         grid=(C,),
+        interpret=interpret,
         # flat [B, C*chunk] view: a (B, 1, chunk) block has an unlowerable
         # sublane dim; (B, chunk) over the flat array is tile-exact
         in_specs=[pl.BlockSpec((B, chunk), lambda c: (0, c))],
@@ -81,6 +91,11 @@ def chunk_stats_supported(n_rows):
 
 
 def logsumexp_from_stats(cm, es):
-    """Row logsumexp from per-chunk stats ([B, C] -> [B])."""
-    m = jnp.max(cm, axis=1)
+    """Row logsumexp from per-chunk stats ([B, C] -> [B]).
+
+    -inf-safe: all--inf chunks arrive as (cm=-inf, es=0) and contribute
+    exactly 0; a fully--inf row returns -inf (not NaN). This is the path
+    force_token rows (forced BOS/EOS) take every greedy-beam call.
+    """
+    m = jnp.maximum(jnp.max(cm, axis=1), FINITE_MIN)
     return m + jnp.log(jnp.sum(es * jnp.exp(cm - m[:, None]), axis=1))

@@ -274,6 +274,42 @@ def test_chunk_stats_select_path(np_rng):
     np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
 
 
+def test_chunk_stats_forced_token_rows():
+    """force_token (forced BOS/EOS) rows are all -inf except one column, so
+    ~49 of the 50 vocab chunks are ENTIRELY -inf. The exp-shift must not
+    produce NaN for those chunks (exp(-inf - -inf)): the row logsumexp must
+    equal the surviving token's logit exactly, through both the XLA
+    reference and the Pallas kernel (interpret mode)."""
+    import jax.numpy as jnp
+    from kmbart_tpu.generation.logits import force_token
+    from kmbart_tpu.ops.pallas_vocab_stats import (chunk_stats,
+                                                   chunk_stats_reference,
+                                                   logsumexp_from_stats)
+    from kmbart_tpu.ops.topk import pad_to_chunks, topk_from_chunk_stats
+
+    B, V = 8, 50320
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.normal(size=(B, V)).astype(np.float32) * 4)
+    forced = force_token(logits, 2)            # all -inf except column 2
+    xr = pad_to_chunks(forced)
+    for stats_fn in (chunk_stats_reference,
+                     lambda a: chunk_stats(a, interpret=True)):
+        cm, es = stats_fn(xr)
+        assert not np.any(np.isnan(np.asarray(cm)))
+        assert not np.any(np.isnan(np.asarray(es)))
+        lse = np.asarray(logsumexp_from_stats(cm, es))
+        np.testing.assert_allclose(lse, np.asarray(forced[:, 2]), rtol=1e-6)
+        v, i = topk_from_chunk_stats(xr, cm, 10)
+        assert np.all(np.asarray(i)[:, 0] == 2)
+        np.testing.assert_allclose(np.asarray(v)[:, 0],
+                                   np.asarray(forced[:, 2]), rtol=1e-6)
+        assert np.all(np.asarray(v)[:, 1:] == -np.inf)
+    # a fully--inf row must come back -inf, not NaN
+    dead = jnp.full((8, 5000), -jnp.inf, jnp.float32)
+    cm, es = chunk_stats_reference(pad_to_chunks(dead))
+    assert np.all(np.asarray(logsumexp_from_stats(cm, es)) == -np.inf)
+
+
 def test_exact_top_k_tie_torture(np_rng):
     """Chunk-max selection: duplicates inside one chunk, across chunks, and
     straddling chunk boundaries must keep lax.top_k's lowest-index order."""

@@ -142,3 +142,20 @@ def test_atomic_generator_beam(gpt1_assets):
                              category_tokens=cat_tokens, n_heads=4)
     g = greedy.get_reason("person opens the door")
     assert isinstance(g, dict)
+
+
+def test_gpt_init_leaves_uncorrelated():
+    """Every randomly-initialised leaf must come from a distinct RNG key:
+    no two random leaves may share their leading values (the round-2
+    version reused keys[0] for embed and proj_kernel)."""
+    params = gpt.init_gpt_params(jax.random.PRNGKey(0), n_vocab=100,
+                                 n_ctx=32, d_model=16, n_layers=2, n_heads=4)
+    leaves = [np.asarray(x).reshape(-1)[:64]
+              for x in jax.tree_util.tree_leaves(params)
+              if hasattr(x, "ndim") and x.ndim >= 2 and float(np.std(x)) > 0]
+    assert len(leaves) >= 6
+    for i in range(len(leaves)):
+        for j in range(i + 1, len(leaves)):
+            a, b = leaves[i], leaves[j]
+            n = min(len(a), len(b))
+            assert not np.allclose(a[:n], b[:n]), (i, j)
