@@ -596,12 +596,18 @@ def lm_logits(params, cfg: MultiModalBartConfig, hidden, final_logits_bias=None,
     ``logits_dtype``: fp32 by default (decode-time score processors read
     exact logits); the train loss passes the compute dtype so the
     [B, T, vocab] tensor is written at half width — the CE computes its
-    statistics in fp32 either way."""
+    statistics in fp32 either way.
+
+    ``final_logits_bias`` is a non-trainable BUFFER in the reference
+    (transformers 3.0.2 registers it with register_buffer; it stays zeros
+    for new vocab rows forever), so gradients are stopped here — training
+    it would silently diverge from the reference's dynamics."""
     dtype = jnp.dtype(cfg.dtype)
     logits = jnp.dot(hidden.astype(dtype), params["shared"].T.astype(dtype),
                      preferred_element_type=jnp.float32)
     if final_logits_bias is not None:
-        logits = logits + final_logits_bias.astype(jnp.float32)
+        logits = logits + jax.lax.stop_gradient(
+            final_logits_bias.astype(jnp.float32))
     return logits.astype(logits_dtype)
 
 

@@ -76,9 +76,12 @@ def train_state_shardings(mesh, params):
                                       is_leaf=lambda x: isinstance(x, P))
     p_sh = to_sh(specs)
     repl = NamedSharding(mesh, P())
+    # per-leaf step counters are replicated scalars
+    ls_sh = jax.tree.map(lambda _: repl, specs,
+                         is_leaf=lambda x: isinstance(x, P))
     return TrainState(
         params=p_sh,
-        opt_state=AdamWState(step=repl, mu=p_sh, nu=p_sh),
+        opt_state=AdamWState(step=repl, mu=p_sh, nu=p_sh, leaf_steps=ls_sh),
         step=repl,
     )
 

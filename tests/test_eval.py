@@ -231,3 +231,96 @@ def test_meteor_default_stages_active():
     m = Meteor()
     assert m._synonym_table or m._wordnet is not None
     assert m._paraphrases
+
+
+# (input, expected post-filter token string) — expectations hand-derived
+# from Stanford CoreNLP 3.4.1 PTBTokenizer -preserveLines -lowerCase
+# followed by pycocoevalcap's (uppercase) PUNCTUATIONS filter, which the
+# reference runs as a Java subprocess (src/evaluation.py:10,48-49).
+PTB_GOLDEN_CORPUS = [
+    # plain + casing + whitespace
+    ("A man riding a horse.", "a man riding a horse"),
+    ("  Two   dogs run  fast.  ", "two dogs run fast"),
+    ("THE QUICK BROWN FOX", "the quick brown fox"),
+    ("", ""),
+    # contractions
+    ("He doesn't like it.", "he does n't like it"),
+    ("They aren't here.", "they are n't here"),
+    ("I can't see it.", "i ca n't see it"),
+    ("She won't stop.", "she wo n't stop"),
+    ("It's a sunny day.", "it 's a sunny day"),
+    ("I'm happy.", "i 'm happy"),
+    ("We'll go tomorrow.", "we 'll go tomorrow"),
+    ("They've eaten.", "they 've eaten"),
+    ("You're welcome.", "you 're welcome"),
+    ("He'd rather walk.", "he 'd rather walk"),
+    ("Isn't it lovely?", "is n't it lovely"),
+    ("The dog's bone.", "the dog 's bone"),
+    ("The dogs' bones.", "the dogs bones"),
+    ("James's car.", "james 's car"),
+    # assimilations
+    ("You cannot enter.", "you can not enter"),
+    ("I'm gonna win.", "i 'm gon na win"),
+    ("We wanna play.", "we wan na play"),
+    ("You gotta see this.", "you got ta see this"),
+    ("Lemme see.", "lem me see"),
+    ("Gimme the ball.", "gim me the ball"),
+    # o'clock stays whole; "rock" unaffected
+    ("It is five o'clock.", "it is five o'clock"),
+    # quotes
+    ('He said "hello" to her.', "he said hello to her"),
+    ('"Stop right there!"', "stop right there"),
+    ("She said “good morning” loudly.", "she said good morning loudly"),
+    ("A so-called 'expert' spoke.", "a so-called expert spoke"),
+    # brackets survive the (case-sensitive) punctuation filter as -lrb- etc.
+    ("A cat (on a mat) sleeps.", "a cat -lrb- on a mat -rrb- sleeps"),
+    ("Values [1] and {2} differ.", "values -lsb- 1 -rsb- and -lcb- 2 -rcb- differ"),
+    # numbers / currency / percent / time
+    ("It costs $5.", "it costs $ 5"),
+    ("It costs $5.50 now.", "it costs $ 5.50 now"),
+    ("Over 1,000 people came.", "over 1,000 people came"),
+    ("About 50% of them left.", "about 50 % of them left"),
+    ("The train leaves at 5:30 today.", "the train leaves at 5:30 today"),
+    ("Score was 3.14 exactly.", "score was 3.14 exactly"),
+    ("He arrived at 12, then left.", "he arrived at 12 then left"),
+    # punctuation classes
+    ("Wait; then go.", "wait then go"),
+    ("Really? Yes!", "really yes"),
+    ("One, two, and three.", "one two and three"),
+    ("Items: apples, pears.", "items apples pears"),
+    ("Well... maybe.", "well maybe"),
+    ("A dash -- like this -- works.", "a dash like this works"),
+    ("A well-known artist.", "a well-known artist"),
+    ("Blue-green water.", "blue-green water"),
+    # abbreviations keep their periods
+    ("Mr. Smith waved.", "mr. smith waved"),
+    ("Mrs. Jones and Dr. Lee met.", "mrs. jones and dr. lee met"),
+    ("The U.S. flag waved.", "the u.s. flag waved"),
+    ("J. K. Rowling wrote it.", "j. k. rowling wrote it"),
+    ("Meet at 3 p.m. sharp.", "meet at 3 p.m. sharp"),
+    ("St. Louis is big.", "st. louis is big"),
+    ("Apples, pears, etc. were sold.", "apples pears etc. were sold"),
+    # ampersand stays inside tokens
+    ("AT&T built the line.", "at&t built the line"),
+    # mixed
+    ("The boy's kite (red) isn't flying.",
+     "the boy 's kite -lrb- red -rrb- is n't flying"),
+    ('"I can\'t," she said.', "i ca n't she said"),
+    ("Don't touch the $100 bill!", "do n't touch the $ 100 bill"),
+    ("It's 5:30; we're late.", "it 's 5:30 we 're late"),
+    ("He said: \"wait\".", "he said wait"),
+    ("Photo #42 of the set.", "photo # 42 of the set"),
+]
+
+
+def test_ptb_golden_corpus():
+    """60-sentence golden corpus: contractions, assimilations, quotes,
+    brackets (which survive the case-sensitive punctuation filter as
+    -lrb-/-rrb-), digit-guarded commas/colons, currency, abbreviation
+    periods, ampersand-joined tokens. Exact-match against the expected
+    CoreNLP-PTB + punctuation-filter output."""
+    tok = PTBTokenizer()
+    inp = {i: [{"caption": c}] for i, (c, _) in enumerate(PTB_GOLDEN_CORPUS)}
+    out = tok.tokenize(inp)
+    for i, (c, exp) in enumerate(PTB_GOLDEN_CORPUS):
+        assert out[i][0] == exp, (c, out[i][0], exp)
