@@ -104,9 +104,16 @@ def beam_search_loop(params, cfg, fbias, enc_hidden, enc_mask, rng, *,
     # copy) from the hot loop — selection + tie-breaking stay bit-identical
     # to HF 3.0.2's topk over the flat normalised matrix (beam-major flat
     # index order == (beam asc, within-beam rank asc) merge order).
-    fast_select = (not do_sample and repetition_penalty == 1.0
-                   and no_repeat_ngram_size == 0 and bad_words_ids is None
-                   and min_length == 0)
+    _inert = (repetition_penalty == 1.0 and no_repeat_ngram_size == 0
+              and bad_words_ids is None and min_length == 0)
+    fast_select = _inert and not do_sample
+    # Sampling rides the same chunk-stats machinery when the postprocessors
+    # are inert and the draw is top-k-restricted: the per-row top-k of the
+    # raw logits IS the top-k of the normalised scores (log_softmax is
+    # monotonic per row; beam_scores is constant per row), and only those
+    # kk survivors get normalised with the fused lse — the old branch paid
+    # a full [BK, V] log_softmax + full-vocab exact_top_k per step.
+    fast_sample = _inert and do_sample and bool(top_k) and top_k > 0
 
     tokens = jnp.full((BK, max_length), pad_token_id, jnp.int32)
     tokens = tokens.at[:, 0].set(decoder_start_token_id)
@@ -174,7 +181,7 @@ def beam_search_loop(params, cfg, fbias, enc_hidden, enc_mask, rng, *,
         if do_sample and temperature != 1.0:
             logits = logits / temperature
 
-        if fast_select:
+        if fast_select or fast_sample:
             # one pipelined pass produces per-chunk maxima AND exp-sums:
             # the logsumexp and the top-k's chunk-max build share it (the
             # XLA version cost three separate full reads per step)
@@ -184,6 +191,7 @@ def beam_search_loop(params, cfg, fbias, enc_hidden, enc_mask, rng, *,
             else:
                 cm, es = chunk_stats_reference(xr)
             lse = logsumexp_from_stats(cm, es)                  # [BK]
+        if fast_select:
             row_vals, row_idx = topk_from_chunk_stats(xr, cm, 2 * K)
             norm = (row_vals - lse[:, None]) + beam_scores.reshape(BK, 1)
             merged = norm.reshape(B, K * 2 * K)
@@ -192,7 +200,7 @@ def beam_search_loop(params, cfg, fbias, enc_hidden, enc_mask, rng, *,
                         + beam_base).reshape(B, K * 2 * K)
             cand_scores, pos = jax.lax.top_k(merged, 2 * K)
             cand_idx = jnp.take_along_axis(flat_idx, pos, axis=1)
-        else:
+        elif not fast_sample:
             scores = jax.nn.log_softmax(logits, axis=-1)
             scores = lp.postprocess_scores(
                 scores, tokens, cur_len,
@@ -202,7 +210,6 @@ def beam_search_loop(params, cfg, fbias, enc_hidden, enc_mask, rng, *,
                 eos_token_id=eos_token_id)
 
         if do_sample:
-            _scores = scores + beam_scores.reshape(BK, 1)
             rng, sub = jax.random.split(rng)
             if top_k and top_k > 0:
                 # restrict to each row's top-k candidates before the
@@ -212,7 +219,16 @@ def beam_search_loop(params, cfg, fbias, enc_hidden, enc_mask, rng, *,
                 # [B, K*V] draw — and the full-vocab gumbel noise was the
                 # dominant per-step cost (see lp.sample_from_top_k)
                 kk = max(top_k, 2)
-                vals, vidx = exact_top_k(_scores, kk)   # [BK, kk] desc
+                if fast_sample:
+                    # top-k of the raw logits == top-k of the normalised
+                    # scores (per-row monotonic); normalise the survivors
+                    # with the fused lse instead of a [BK, V] log_softmax
+                    raw_vals, vidx = topk_from_chunk_stats(xr, cm, kk)
+                    vals = ((raw_vals - lse[:, None])
+                            + beam_scores.reshape(BK, 1))
+                else:
+                    _scores = scores + beam_scores.reshape(BK, 1)
+                    vals, vidx = exact_top_k(_scores, kk)   # [BK, kk] desc
                 if top_p < 1.0:
                     cum = jnp.cumsum(jax.nn.softmax(vals, axis=-1), axis=-1)
                     remove = cum > top_p
@@ -230,6 +246,7 @@ def beam_search_loop(params, cfg, fbias, enc_hidden, enc_mask, rng, *,
                 cand_scores = jnp.take_along_axis(flat, pos, axis=1)
                 cand_idx = jnp.take_along_axis(flat_gidx, pos, axis=1)
             else:
+                _scores = scores + beam_scores.reshape(BK, 1)
                 _scores = lp.top_k_top_p_filtering(_scores, top_k, top_p,
                                                    min_tokens_to_keep=2)
                 flat = _scores.reshape(B, K * V)

@@ -304,8 +304,14 @@ def encode(params, cfg: MultiModalBartConfig, input_ids, image_features=None,
     if cfg.remat:
         body = jax.checkpoint(body)
     n_layers = cfg.encoder_layers
-    (x, _), _ = jax.lax.scan(
-        body, (x, rng), (params["encoder"]["layers"], jnp.arange(n_layers)))
+    if cfg.train_unroll_layers and not cfg.remat:
+        # unrolled layer loop: no scan residual stacking (config.py knob)
+        for i in range(n_layers):
+            lp = jax.tree.map(lambda a: a[i], params["encoder"]["layers"])
+            (x, _), _ = body((x, rng), (lp, jnp.int32(i)))
+    else:
+        (x, _), _ = jax.lax.scan(
+            body, (x, rng), (params["encoder"]["layers"], jnp.arange(n_layers)))
 
     if cfg.normalize_before:
         ln = params["encoder"]["layer_norm"]
@@ -359,8 +365,14 @@ def decode(params, cfg: MultiModalBartConfig, decoder_input_ids, enc_hidden,
 
     if cfg.remat:
         body = jax.checkpoint(body)
-    (x, _), _ = jax.lax.scan(
-        body, (x, rng), (params["decoder"]["layers"], jnp.arange(cfg.decoder_layers)))
+    if cfg.train_unroll_layers and not cfg.remat:
+        for i in range(cfg.decoder_layers):
+            lp = jax.tree.map(lambda a: a[i], params["decoder"]["layers"])
+            (x, _), _ = body((x, rng), (lp, jnp.int32(i)))
+    else:
+        (x, _), _ = jax.lax.scan(
+            body, (x, rng),
+            (params["decoder"]["layers"], jnp.arange(cfg.decoder_layers)))
 
     if cfg.add_final_layer_norm:
         ln = params["decoder"]["layer_norm"]

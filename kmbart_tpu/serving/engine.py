@@ -19,6 +19,15 @@ import numpy as np
 
 from kmbart_tpu.generation.api import generate
 
+# Measured-good decode batch sizes (beam-5, BART-base, v5e; BASELINE.md
+# batch sweep). The sweep is NON-monotone: 80 hits a pathological tiling
+# and 128 regresses below 96 — so the engine only compiles/pads to sizes
+# from this table (smallest entry >= the pending request count), never to
+# an arbitrary power of two. Override per deployment via the
+# ``batch_buckets`` ctor arg after running the bench sweep on the target
+# hardware/model.
+DEFAULT_BATCH_BUCKETS = (8, 16, 32, 64, 96, 112)
+
 
 class _Request:
     __slots__ = ("batch", "future", "n")
@@ -31,16 +40,27 @@ class _Request:
 
 class GenerationEngine:
     def __init__(self, params, cfg, tokenizer=None, *, max_batch_size=32,
-                 encoder_seq_len=None, max_wait_ms=5.0, **gen_options):
+                 encoder_seq_len=None, max_wait_ms=5.0, batch_buckets=None,
+                 **gen_options):
         """gen_options: forwarded to generate() (num_beams, max_length, ...).
 
         ``encoder_seq_len``: static bucket; requests are padded to it
         (defaults to the first request's width rounded up to a multiple
-        of 8)."""
+        of 8).
+
+        ``batch_buckets``: ascending measured-good batch sizes (see
+        DEFAULT_BATCH_BUCKETS); a batch pads to the smallest bucket that
+        fits, capped by ``max_batch_size`` — so a burst of 70 requests
+        lands on the measured-good 96, never in the batch-80 tiling hole."""
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.max_batch_size = max_batch_size
+        buckets = tuple(b for b in (batch_buckets or DEFAULT_BATCH_BUCKETS)
+                        if b <= max_batch_size)
+        if not buckets or buckets[-1] < max_batch_size:
+            buckets = buckets + (max_batch_size,)
+        self.batch_buckets = buckets
         self.encoder_seq_len = encoder_seq_len
         self.max_wait_ms = max_wait_ms
         self.gen_options = gen_options
@@ -56,6 +76,10 @@ class GenerationEngine:
         Future resolving to the generated token array [n * num_return, L]."""
         input_ids = np.atleast_2d(np.asarray(input_ids, np.int32))
         n = input_ids.shape[0]
+        if n > self.max_batch_size:
+            raise ValueError(
+                f"request of {n} rows exceeds max_batch_size="
+                f"{self.max_batch_size}; split it across submits")
         if attention_mask is None:
             attention_mask = (input_ids != self.cfg.pad_token_id).astype(np.int32)
         batch = {"input_ids": input_ids,
@@ -112,11 +136,17 @@ class GenerationEngine:
                     if not r.future.done():
                         r.future.set_exception(e)
 
+    def _bucket_for(self, n):
+        for b in self.batch_buckets:
+            if n <= b:
+                return b
+        return self.batch_buckets[-1]
+
     def _run_batch(self, reqs):
         width = self._pad_width(max(r.batch["input_ids"].shape[1]
                                     for r in reqs))
         n_total = sum(r.n for r in reqs)
-        B = self.max_batch_size
+        B = self._bucket_for(n_total)
         ids = np.full((B, width), self.cfg.pad_token_id, np.int32)
         mask = np.zeros((B, width), np.int32)
         feats = None

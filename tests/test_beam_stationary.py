@@ -116,6 +116,7 @@ def test_selection_mask_semantics():
                     assert sel[0, j * T + t, qq * H + h] == want
 
 
+@pytest.mark.slow
 def test_stationary_matches_legacy_path(tiny_cfg):
     """Same tokens from the beam-stationary and permuting cache paths."""
     from kmbart_tpu.models.conditional import (

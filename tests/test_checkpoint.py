@@ -2,6 +2,7 @@
 
 import jax
 import numpy as np
+import pytest
 
 from kmbart_tpu.checkpoint.io import (
     load_pretrained, load_training_data, save_pretrained, save_training_data)
@@ -73,6 +74,7 @@ def test_torch_export_roundtrip(tiny_cfg, tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_sharded_checkpoint_roundtrip(tmp_path, tiny_cfg):
     """Orbax sharded save/restore over a DP4 x TP2 mesh: values and
     shardings must round-trip without host gathering."""

@@ -192,13 +192,18 @@ def test_greedy_parity_with_hf(setup):
 @pytest.mark.parametrize("kwargs", [
     dict(num_beams=5, early_stopping=True),
     dict(num_beams=5, early_stopping=False),
-    dict(num_beams=5, early_stopping=True, length_penalty=0.7),
-    dict(num_beams=5, early_stopping=False, length_penalty=0.7),
-    dict(num_beams=5, early_stopping=True, length_penalty=2.0),
-    dict(num_beams=5, early_stopping=False, length_penalty=2.0),
+    pytest.param(dict(num_beams=5, early_stopping=True, length_penalty=0.7),
+                 marks=pytest.mark.slow),
+    pytest.param(dict(num_beams=5, early_stopping=False, length_penalty=0.7),
+                 marks=pytest.mark.slow),
+    pytest.param(dict(num_beams=5, early_stopping=True, length_penalty=2.0),
+                 marks=pytest.mark.slow),
+    pytest.param(dict(num_beams=5, early_stopping=False, length_penalty=2.0),
+                 marks=pytest.mark.slow),
     dict(num_beams=4, early_stopping=True, no_repeat_ngram_size=2),
     dict(num_beams=5, early_stopping=True, num_return_sequences=3),
-    dict(num_beams=5, early_stopping=False, num_return_sequences=3),
+    pytest.param(dict(num_beams=5, early_stopping=False,
+                      num_return_sequences=3), marks=pytest.mark.slow),
 ],
     ids=["es", "no-es", "lp0.7-es", "lp0.7", "lp2-es", "lp2",
          "ngram2", "nrs3-es", "nrs3"])
@@ -244,7 +249,11 @@ def test_exact_top_k_matches_lax(np_rng):
     np.testing.assert_array_equal(np.asarray(i3), np.asarray(i4))
 
 
-def test_chunk_stats_select_path(np_rng):
+@pytest.mark.parametrize("sizes", [
+    ((4, 5000), (3, 4096)),
+    pytest.param(((8, 50320),), marks=pytest.mark.slow),  # real-vocab width
+], ids=["small", "vocab"])
+def test_chunk_stats_select_path(np_rng, sizes):
     """The fused stats path (pad -> chunk stats -> lse + topk-from-stats)
     must reproduce lax.top_k (incl. tie order) and logsumexp exactly."""
     import jax.numpy as jnp
@@ -252,7 +261,7 @@ def test_chunk_stats_select_path(np_rng):
                                                    logsumexp_from_stats)
     from kmbart_tpu.ops.topk import pad_to_chunks, topk_from_chunk_stats
 
-    for B, N in ((8, 50320), (4, 5000), (3, 4096)):
+    for B, N in sizes:
         x = jnp.asarray(np_rng.normal(size=(B, N)).astype(np.float32) * 5)
         xr = pad_to_chunks(x)
         cm, es = chunk_stats_reference(xr)

@@ -83,12 +83,32 @@ def test_padding_invariance(tiny_cfg, np_rng):
 
 
 def test_remat_equivalence(tiny_cfg, np_rng):
-    cfg = tiny_cfg.replace(dtype="float32")
+    # remat always runs the scanned layer path, so pin the baseline to the
+    # scan too (the unrolled default differs by backend op-scheduling noise)
+    cfg = tiny_cfg.replace(dtype="float32", train_unroll_layers=False)
     params = bart.init_bart_params(jax.random.PRNGKey(0), cfg)
     ids, feats, am, dec = _inputs(cfg, np_rng)
     a = bart.encode(params, cfg, ids, feats, am)
     b = bart.encode(params, cfg.replace(remat=True), ids, feats, am)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_unrolled_layers_match_scan(tiny_cfg, np_rng):
+    """train_unroll_layers must be numerics-equivalent to the scan path
+    (same ops per layer, including the per-layer rng fold-in)."""
+    cfg = tiny_cfg.replace(dtype="float32", train_unroll_layers=True)
+    cfg_s = cfg.replace(train_unroll_layers=False)
+    params = bart.init_bart_params(jax.random.PRNGKey(0), cfg)
+    ids, feats, am, dec = _inputs(cfg, np_rng)
+    rng = jax.random.PRNGKey(4)
+    a = bart.encode(params, cfg, ids, feats, am, train=True, rng=rng)
+    b = bart.encode(params, cfg_s, ids, feats, am, train=True, rng=rng)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-5, atol=2e-5)
+    da = bart.decode(params, cfg, dec, a, am, train=True, rng=rng)
+    db = bart.decode(params, cfg_s, dec, b, am, train=True, rng=rng)
+    np.testing.assert_allclose(np.asarray(da), np.asarray(db),
+                               rtol=2e-5, atol=2e-5)
 
 
 def test_pretraining_loss_zero_masks(tiny_cfg, np_rng):
@@ -208,22 +228,26 @@ def test_grouped_cross_attention_matches_repeat(np_rng):
 def test_dropout_regen_backward_mask_identical():
     """The regen dropout (ops/layers.py) must apply the SAME mask in
     forward and backward (custom VJP regenerates it from the key instead
-    of storing it), scale kept values by 1/keep, and be an identity when
-    not training."""
+    of storing it), scale kept values by the QUANTISED keep probability
+    (the 8-bit mask keeps (threshold+1)/256 of elements, so that — not
+    1/(1-rate) — is what makes E[out] == x exactly), and be an identity
+    when not training."""
     import jax
     import jax.numpy as jnp
-    from kmbart_tpu.ops.layers import dropout
+    from kmbart_tpu.ops.layers import dropout, _dropout_threshold
 
     k = jax.random.PRNGKey(11)
     x = jnp.ones((64, 256), jnp.float32)
+    scale = 256.0 / (_dropout_threshold(0.3) + 1)
+    assert abs(scale - 1.0 / 0.7) < 4e-3  # quantisation stays within 1/256
     y = dropout(x, 0.3, k, True)
     kept = np.asarray(y > 0)
     assert 0.6 < kept.mean() < 0.8
-    np.testing.assert_allclose(np.asarray(y)[kept], 1.0 / 0.7, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(y)[kept], scale, rtol=1e-6)
 
     g = jax.grad(lambda x: jnp.sum(dropout(x, 0.3, k, True) * 3.0))(x)
     np.testing.assert_array_equal(np.asarray(g > 0), kept)
-    np.testing.assert_allclose(np.asarray(g)[kept], 3.0 / 0.7, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g)[kept], 3.0 * scale, rtol=1e-6)
 
     np.testing.assert_array_equal(np.asarray(dropout(x, 0.3, k, False)),
                                   np.asarray(x))

@@ -11,11 +11,13 @@ Runs on the 8-virtual-device CPU mesh (tests/conftest.py).
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from kmbart_tpu.parallel.mesh import make_mesh
 
 
+@pytest.mark.slow
 def test_generate_batch_sharded_matches_single(tiny_cfg):
     from kmbart_tpu.models.conditional import (
         MultiModalBartForConditionalGeneration)
@@ -44,4 +46,45 @@ def test_generate_batch_sharded_matches_single(tiny_cfg):
     m_sharded = MultiModalBartForConditionalGeneration(
         cfg, params=sharded_params)
     got = np.asarray(m_sharded.generate(sharded_batch, **kw))
+    np.testing.assert_array_equal(got, expect)
+
+
+@pytest.mark.slow
+def test_generate_tp_matches_single(tiny_cfg):
+    """Beam search with MODEL-parallel (Megatron TP) params on a 4x2
+    data x model mesh must emit exactly the single-device tokens: the
+    while-loop beam program partitions over both axes with no code
+    changes — the cross-beam select runs on replicated logits after the
+    all-reduce XLA inserts at o_proj/fc2/LM-head (parallel/tp.py).
+    Round-3 verdict item 10 (generation was DP-tested only)."""
+    from kmbart_tpu.models.conditional import (
+        MultiModalBartForConditionalGeneration)
+    from kmbart_tpu.parallel.tp import param_partition_specs
+
+    cfg = tiny_cfg.replace(dtype="float32")
+    m = MultiModalBartForConditionalGeneration(cfg, rng=jax.random.PRNGKey(1))
+    rng = np.random.default_rng(9)
+    B, T = 8, 10
+    ids = rng.integers(4, cfg.vocab_size - 30, (B, T)).astype(np.int32)
+    ids[:, 1:3] = cfg.img_feat_id
+    batch = dict(
+        input_ids=ids,
+        attention_mask=np.ones((B, T), np.int32),
+        image_features=rng.normal(size=(B, cfg.max_img_num,
+                                        cfg.image_feature_size)
+                                  ).astype(np.float32))
+    kw = dict(max_length=10, num_beams=3, early_stopping=True,
+              num_return_sequences=2)
+    expect = np.asarray(m.generate(batch, **kw))
+
+    mesh = make_mesh(devices=jax.devices()[:8], model_parallel=2)
+    specs = param_partition_specs(m.params)
+    tp_params = jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        m.params, specs, is_leaf=lambda x: isinstance(x, P))
+    data = NamedSharding(mesh, P("data"))
+    sharded_batch = {k: jax.device_put(jnp.asarray(v), data)
+                     for k, v in batch.items()}
+    m_tp = MultiModalBartForConditionalGeneration(cfg, params=tp_params)
+    got = np.asarray(m_tp.generate(sharded_batch, **kw))
     np.testing.assert_array_equal(got, expect)

@@ -100,3 +100,24 @@ def test_http_server(tiny_cfg, np_rng, toy_assets):
     finally:
         server.shutdown()
         engine.shutdown()
+
+
+def test_bucket_selection():
+    """The engine pads to the smallest measured-good bucket, never into a
+    known-bad batch size (the batch-80 tiling hole on v5e)."""
+    from kmbart_tpu.serving.engine import GenerationEngine
+
+    eng = GenerationEngine.__new__(GenerationEngine)
+    eng.max_batch_size = 112
+    eng.batch_buckets = (8, 16, 32, 64, 96, 112)
+    assert eng._bucket_for(1) == 8
+    assert eng._bucket_for(8) == 8
+    assert eng._bucket_for(9) == 16
+    assert eng._bucket_for(70) == 96   # NOT 80
+    assert eng._bucket_for(97) == 112
+    assert eng._bucket_for(300) == 112
+
+    # the default table caps at max_batch_size
+    import kmbart_tpu.serving.engine as se
+    buckets = tuple(b for b in se.DEFAULT_BATCH_BUCKETS if b <= 40)
+    assert buckets == (8, 16, 32)
