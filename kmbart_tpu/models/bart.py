@@ -182,6 +182,14 @@ def _positions(table, length, offset, start=0):
 # Layer bodies (scanned)
 # --------------------------------------------------------------------------
 
+def _res_ln(residual, h, ln):
+    """LN(residual + h): fused Pallas fwd/bwd on TPU training shapes
+    (ops/pallas_ln.py — the XLA backward fusion of this site measured 6.6x
+    its traffic floor), plain composition elsewhere."""
+    from kmbart_tpu.ops.pallas_ln import fused_residual_ln
+    return fused_residual_ln(residual, h, ln["scale"], ln["bias"])
+
+
 def _residual_ffn(x, lp, cfg, rngs, train, dtype, act):
     residual = x
     h = dense(x, lp["fc1_kernel"], lp["fc1_bias"], dtype)
@@ -189,8 +197,7 @@ def _residual_ffn(x, lp, cfg, rngs, train, dtype, act):
     h = dropout(h, cfg.activation_dropout, rngs.get("act"), train)
     h = dense(h, lp["fc2_kernel"], lp["fc2_bias"], dtype)
     h = dropout(h, cfg.dropout, rngs.get("ffn"), train)
-    return layer_norm(residual + h, lp["final_layer_norm"]["scale"],
-                      lp["final_layer_norm"]["bias"])
+    return _res_ln(residual, h, lp["final_layer_norm"])
 
 
 def _rngs_for(rng, names):
@@ -209,8 +216,7 @@ def _encoder_layer(x, lp, key_mask, cfg, rng, train, dtype, act):
         dropout_rate=cfg.attention_dropout, rng=rngs["attn"],
         train=train, dtype=dtype)
     h = dropout(h, cfg.dropout, rngs["res1"], train)
-    x = layer_norm(residual + h, lp["self_attn_layer_norm"]["scale"],
-                   lp["self_attn_layer_norm"]["bias"])
+    x = _res_ln(residual, h, lp["self_attn_layer_norm"])
     return _residual_ffn(x, lp, cfg, rngs, train, dtype, act)
 
 
@@ -231,8 +237,7 @@ def _decoder_layer(x, lp, self_bias, cross_bias, enc_hidden, cfg, rng, train,
         cache_index=cache_index, cache_reorder_idx=cache_reorder_idx,
         key_mask=self_key_mask, causal=causal)
     h = dropout(h, cfg.dropout, rngs["res1"], train)
-    x = layer_norm(residual + h, lp["self_attn_layer_norm"]["scale"],
-                   lp["self_attn_layer_norm"]["bias"])
+    x = _res_ln(residual, h, lp["self_attn_layer_norm"])
 
     residual = x
     if cache is not None:
@@ -250,8 +255,7 @@ def _decoder_layer(x, lp, self_bias, cross_bias, enc_hidden, cfg, rng, train,
             dropout_rate=cfg.attention_dropout, rng=rngs["xattn"],
             train=train, dtype=dtype, key_mask=cross_key_mask)
     h = dropout(h, cfg.dropout, rngs["res2"], train)
-    x = layer_norm(residual + h, lp["encoder_attn_layer_norm"]["scale"],
-                   lp["encoder_attn_layer_norm"]["bias"])
+    x = _res_ln(residual, h, lp["encoder_attn_layer_norm"])
 
     return _residual_ffn(x, lp, cfg, rngs, train, dtype, act), new_cache
 

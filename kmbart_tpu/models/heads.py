@@ -95,7 +95,15 @@ _masked_nll_sum.defvjp(_masked_nll_sum_fwd, _masked_nll_sum_bwd)
 def cross_entropy_ignore_index(logits, labels, ignore_index=-100):
     """Mean CE over positions where labels != ignore_index
     (torch.nn.CrossEntropyLoss default reduction). Statistics are fp32
-    regardless of the logits dtype (the train path feeds bf16 logits)."""
+    regardless of the logits dtype (the train path feeds bf16 logits).
+
+    Inputs are flattened to [rows, vocab] first: the 3-D [B, T, V] view
+    made XLA lay the backward's dlogits out as {0,2,1}, which put the
+    fat dW / dhidden dots on strided reads (~3x their HBM floor in the
+    round-3 v5e profile)."""
+    V = logits.shape[-1]
+    logits = logits.reshape(-1, V)
+    labels = labels.reshape(-1)
     valid = labels != ignore_index
     safe = jnp.where(valid, labels, 0)
     n = jnp.sum(valid)

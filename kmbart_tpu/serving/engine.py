@@ -65,6 +65,7 @@ class GenerationEngine:
         self.max_wait_ms = max_wait_ms
         self.gen_options = gen_options
         self._queue = queue.Queue()
+        self._carry = None  # request that didn't fit the previous batch
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
@@ -110,13 +111,19 @@ class GenerationEngine:
 
     def _loop(self):
         while not self._stop.is_set():
-            try:
-                first = self._queue.get(timeout=0.05)
-            except queue.Empty:
-                continue
+            if self._carry is not None:
+                first, self._carry = self._carry, None
+            else:
+                try:
+                    first = self._queue.get(timeout=0.05)
+                except queue.Empty:
+                    continue
             reqs = [first]
             total = first.n
-            # coalesce whatever arrives within the batching window
+            # coalesce whatever arrives within the batching window; a
+            # request that would overflow the batch is carried to the next
+            # one (it must NOT be clipped — rows would silently cross
+            # requests)
             deadline = self.max_wait_ms / 1000.0
             import time
             t0 = time.perf_counter()
@@ -127,6 +134,9 @@ class GenerationEngine:
                 except queue.Empty:
                     time.sleep(0.0005)
                     continue
+                if total + r.n > self.max_batch_size:
+                    self._carry = r
+                    break
                 reqs.append(r)
                 total += r.n
             try:

@@ -1,6 +1,7 @@
 """Serving engine: dynamic batching + fixed-shape execution."""
 
 import numpy as np
+import pytest
 
 import jax
 
@@ -121,3 +122,30 @@ def test_bucket_selection():
     import kmbart_tpu.serving.engine as se
     buckets = tuple(b for b in se.DEFAULT_BATCH_BUCKETS if b <= 40)
     assert buckets == (8, 16, 32)
+
+
+@pytest.mark.slow
+def test_engine_under_load(tiny_cfg, np_rng):
+    """Backpressure behavior: a burst far larger than one batch drains
+    fully, every future resolves with the right shape, rows never cross
+    between requests, and oversized submits are rejected."""
+    import pytest as _pytest
+    cfg = tiny_cfg.replace(dtype="float32")
+    params = init_conditional_params(jax.random.PRNGKey(0), cfg)
+    engine = GenerationEngine(params, cfg, max_batch_size=8,
+                              encoder_seq_len=16, max_length=6, num_beams=1,
+                              max_wait_ms=2.0)
+    try:
+        with _pytest.raises(ValueError):
+            engine.submit(np.full((9, 6), 5, np.int32))
+        futures = []
+        for i in range(40):
+            n = 1 + (i % 3)
+            ids = np_rng.integers(4, 80, (n, 5 + (i % 4))).astype(np.int32)
+            futures.append((n, engine.submit(ids)))
+        for n, fut in futures:
+            out = fut.result(timeout=300)
+            assert out.shape == (n, 6)
+            assert (out[:, 0] == cfg.decoder_start_token_id).all()
+    finally:
+        engine.shutdown()

@@ -314,3 +314,32 @@ INPUT:
     n = out["features"].shape[0]
     assert 3 <= n <= 6
     assert out["scores"].shape == (n, 11)
+
+
+@pytest.mark.slow
+def test_extractor_batch_matches_single(np_rng):
+    """extract_feature_batch must reproduce the single-image proposal path
+    exactly for images sharing a padded shape, and handle mixed sizes."""
+    from kmbart_tpu.vision.extractor import FeatureExtractor
+    import jax
+    ex = FeatureExtractor(rng=jax.random.PRNGKey(1), num_classes=11,
+                          min_boxes=3, max_boxes=6, pre_nms_topk=200,
+                          post_nms_topk=24, dtype="float32")
+    imgs = [np_rng.integers(0, 255, (64, 64, 3)).astype(np.uint8)
+            for _ in range(3)]
+    singles = [ex.extract_feature(im) for im in imgs]
+    batched = ex.extract_feature_batch(imgs)
+    assert len(batched) == 3
+    for s, b in zip(singles, batched):
+        np.testing.assert_allclose(b["boxes"], s["boxes"], rtol=1e-4,
+                                   atol=1e-4)
+        np.testing.assert_allclose(b["features"], s["features"], rtol=1e-3,
+                                   atol=1e-4)
+    # mixed sizes run through one padded bucket without error
+    mixed = [np_rng.integers(0, 255, (64, 64, 3)).astype(np.uint8),
+             np_rng.integers(0, 255, (48, 80, 3)).astype(np.uint8)]
+    out = ex.extract_feature_batch(mixed)
+    assert len(out) == 2
+    for o in out:
+        assert 3 <= o["features"].shape[0] <= 6
+        assert o["features"].shape[1] == 2048
