@@ -32,7 +32,8 @@ DEC_LEN = 40
 MAX_LEN = 32
 BEAMS = 5
 DECODE_BATCHES = (64, 96)
-TRAIN_BATCHES = (32, 128)
+TRAIN_BATCHES = (32, 128, 192)  # 192 fits since the unrolled layer path
+# dropped the scan-stacked residual buffers; OOM at a size is skipped
 
 # BASELINE.md "Reference throughput anchor": estimated HF 3.0.2 beam-5
 # decode on the reference's era GPU (V100-class), sentences/sec.
@@ -159,16 +160,19 @@ def bench_train():
             "decoder_attention_mask": np.ones((B, DEC_LEN), np.int32),
             "labels": dec.copy(),
         }
-        state = TrainState.create(params)
-        dev_batch = jax.device_put(batch)
-        state, m = step(state, dev_batch, key)  # compile
-        float(m["loss"])
-        n_iters = 8
-        t0 = time.perf_counter()
-        for _ in range(n_iters):
-            state, m = step(state, dev_batch, key)
-        float(m["loss"])  # sync
-        dt = time.perf_counter() - t0
+        try:
+            state = TrainState.create(params)
+            dev_batch = jax.device_put(batch)
+            state, m = step(state, dev_batch, key)  # compile
+            float(m["loss"])
+            n_iters = 8
+            t0 = time.perf_counter()
+            for _ in range(n_iters):
+                state, m = step(state, dev_batch, key)
+            float(m["loss"])  # sync
+            dt = time.perf_counter() - t0
+        except Exception:  # e.g. HBM OOM at the largest sweep point
+            continue
         tput = B * n_iters / dt
         out[B] = (tput, tput * train_flops_per_sample(cfg) / V5E_PEAK_FLOPS)
     return out

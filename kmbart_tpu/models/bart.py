@@ -183,11 +183,12 @@ def _positions(table, length, offset, start=0):
 # --------------------------------------------------------------------------
 
 def _res_ln(residual, h, ln):
-    """LN(residual + h): fused Pallas fwd/bwd on TPU training shapes
-    (ops/pallas_ln.py — the XLA backward fusion of this site measured 6.6x
-    its traffic floor), plain composition elsewhere."""
-    from kmbart_tpu.ops.pallas_ln import fused_residual_ln
-    return fused_residual_ln(residual, h, ln["scale"], ln["bias"])
+    """LN(residual + h). A fused Pallas fwd/bwd kernel for this site
+    (bit-matching numerics, tests/test_pallas.py) measured -1.7% on the
+    v5e train step — XLA's surrounding fusions already amortise the LN
+    backward better than a standalone kernel call — so the composition
+    stays; the kernel lives in ops/pallas_ln.py for larger-D configs."""
+    return layer_norm(residual + h, ln["scale"], ln["bias"])
 
 
 def _residual_ffn(x, lp, cfg, rngs, train, dtype, act):
