@@ -20,13 +20,15 @@ import numpy as np
 from kmbart_tpu.generation.api import generate
 
 # Measured-good decode batch sizes (beam-5, BART-base, v5e; BASELINE.md
-# batch sweep). The sweep is NON-monotone: 80 hits a pathological tiling
-# and 128 regresses below 96 — so the engine only compiles/pads to sizes
-# from this table (smallest entry >= the pending request count), never to
-# an arbitrary power of two. Override per deployment via the
-# ``batch_buckets`` ctor arg after running the bench sweep on the target
-# hardware/model.
-DEFAULT_BATCH_BUCKETS = (8, 16, 32, 64, 96, 112)
+# round-3 batch sweep: 419/474/475/512/535/552/521 sent/s at
+# 32/48/64/80/96/112/128 — monotone up to the 552 peak at 112, then 128
+# regresses ~6%). The engine only compiles/pads to sizes from this table
+# (smallest entry >= the pending request count). The round-2 "batch-80
+# hole" was an artifact of the forced-token NaN bug in the fast-select
+# logsumexp (fixed in ops/pallas_vocab_stats.py), not a tiling property.
+# Override per deployment via the ``batch_buckets`` ctor arg after
+# running the bench sweep on the target hardware/model.
+DEFAULT_BATCH_BUCKETS = (8, 16, 32, 48, 64, 80, 96, 112)
 
 
 class _Request:

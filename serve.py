@@ -34,6 +34,8 @@ def main(args):
         max_batch_size=args.max_batch_size,
         encoder_seq_len=args.encoder_seq_len,
         max_wait_ms=args.max_wait_ms,
+        batch_buckets=(tuple(int(b) for b in args.batch_buckets.split(","))
+                       if args.batch_buckets else None),
         num_beams=args.num_beams, max_length=args.max_length,
         early_stopping=True)
     logger.info(f"Serving on http://{args.host}:{args.port}", pad=True)
@@ -51,6 +53,10 @@ def parse_args():
     parser.add_argument("--host", default="127.0.0.1", type=str)
     parser.add_argument("--port", default=8000, type=int)
     parser.add_argument("--max_batch_size", default=32, type=int)
+    parser.add_argument("--batch_buckets", default=None, type=str,
+                        help="comma-separated measured-good batch sizes "
+                             "(default: engine.DEFAULT_BATCH_BUCKETS from "
+                             "the v5e bench sweep)")
     parser.add_argument("--encoder_seq_len", default=96, type=int)
     parser.add_argument("--max_wait_ms", default=5.0, type=float)
     parser.add_argument("--num_beams", default=5, type=int)
