@@ -5,13 +5,12 @@ the reference's north-star component is the token-by-token HF 3.0.2 beam
 loop (SURVEY.md §3.3); ours is a single jitted lax.while_loop on TPU.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
-The decode sweep covers batch {64, 96} and reports the peak configuration
-(round-2 sweeps with the beam-stationary cache peak at ~96-112; 128
-degrades, 80 hits a pathological tiling). Extra fields: the winning batch
-size, per-token
-decode step time, train throughput, and train MFU (model FLOPs / v5e bf16
-peak — see BASELINE.md for the formula and for how this differs from the
-profiler's MXU-busy fraction).
+The decode sweep covers batch {96, 112} and reports the peak
+configuration (the round-3 sweep is monotone 419 -> 552 sent/s from 32
+to the 112 peak, then 128 regresses ~6% — BASELINE.md). Extra fields:
+the winning batch size, per-token decode step time, train throughput,
+and train MFU (model FLOPs / v5e bf16 peak — see BASELINE.md for the
+formula and for how this differs from the profiler's MXU-busy fraction).
 
 vs_baseline: the reference publishes no throughput numbers and its
 torch/transformers-3.0.2 CUDA stack cannot run in this image, so the
@@ -31,9 +30,12 @@ ENC_LEN = 72
 DEC_LEN = 40
 MAX_LEN = 32
 BEAMS = 5
-DECODE_BATCHES = (64, 96)
-TRAIN_BATCHES = (32, 128, 192)  # 192 fits since the unrolled layer path
-# dropped the scan-stacked residual buffers; OOM at a size is skipped
+DECODE_BATCHES = (96, 112)  # the round-3 sweep peaks at 112 (BASELINE.md)
+# (batch, grad_accum_steps): direct batches plus one accumulated point —
+# grad accumulation amortises the optimizer pass over the micro-batches
+# (one AdamW application per effective batch), a standard large-batch
+# recipe the CLIs expose via --grad_accum_steps. OOM points are skipped.
+TRAIN_POINTS = ((32, 1), (128, 1), (192, 1), (512, 4))
 
 # BASELINE.md "Reference throughput anchor": estimated HF 3.0.2 beam-5
 # decode on the reference's era GPU (V100-class), sentences/sec.
@@ -143,10 +145,11 @@ def bench_train():
         loss, _ = conditional_loss(p, cfg, b, train=True, rng=step_rng)
         return loss, {}
 
-    step = build_train_step(loss_fn, adamw(lr=1e-5), donate=False)
     key = jax.random.PRNGKey(0)
     out = {}
-    for B in TRAIN_BATCHES:
+    for B, accum in TRAIN_POINTS:
+        step = build_train_step(loss_fn, adamw(lr=1e-5), donate=False,
+                                grad_accum_steps=accum)
         ids = rng.integers(4, 50000, (B, ENC_LEN)).astype(np.int32)
         ids[:, 1:31] = cfg.img_feat_id
         dec = rng.integers(4, 50000, (B, DEC_LEN)).astype(np.int32)
@@ -228,7 +231,7 @@ def main():
         "decode_step_ms": round(step_ms, 3),
     }
     if train:
-        base_b = TRAIN_BATCHES[0]
+        base_b = TRAIN_POINTS[0][0]
         record["train_samples_per_sec"] = round(train[base_b][0], 2)
         record["train_mfu"] = round(train[base_b][1], 4)
         peak_b = max(train, key=lambda b: train[b][0])
