@@ -99,11 +99,16 @@ def pretraining_loss(params, cfg: MultiModalBartConfig, batch, *, train=False,
     # --- relation prediction ------------------------------------------------
     if "relation_pairs" in batch:
         pairs = batch["relation_pairs"]  # [B, R, 2] (object_index, subject_index)
-        d = hidden.shape[-1]
-        obj = jnp.take_along_axis(
-            hidden, jnp.broadcast_to(pairs[..., 0][..., None], pairs.shape[:2] + (d,)), axis=1)
-        sub = jnp.take_along_axis(
-            hidden, jnp.broadcast_to(pairs[..., 1][..., None], pairs.shape[:2] + (d,)), axis=1)
+        # one-hot MATMUL gather, not take_along_axis: the gather's backward
+        # lowers to a serialised scatter-add on TPU (measured: it alone
+        # inflated the 4-head step from ~66 to 423 ms at batch 128 on
+        # v5e); the einsum is exact (each row sums one product) and both
+        # directions are dense MXU ops.
+        T = hidden.shape[1]
+        oh_obj = jax.nn.one_hot(pairs[..., 0], T, dtype=hidden.dtype)
+        oh_sub = jax.nn.one_hot(pairs[..., 1], T, dtype=hidden.dtype)
+        obj = jnp.einsum("brt,btd->brd", oh_obj, hidden)
+        sub = jnp.einsum("brt,btd->brd", oh_sub, hidden)
         pair_repr = jnp.concatenate([obj, sub], axis=-1)  # [B, R, 2D]
         logits = classification_head(
             params["relation_head"], pair_repr, dropout_rate=cfg.classif_dropout,

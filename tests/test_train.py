@@ -271,7 +271,11 @@ def test_grad_accumulation_matches_mean_of_micro_grads(tiny_cfg, np_rng):
     from kmbart_tpu.training.adamw import adamw
     from kmbart_tpu.training.state import TrainState
 
-    cfg = tiny_cfg
+    # fp32: this is a SEMANTICS test (accumulation == mean of micro
+    # grads); under bf16 the scan-wrapped and direct programs fuse
+    # differently and the losses drift by ~3e-5, which is rounding, not
+    # accumulation semantics
+    cfg = tiny_cfg.replace(dtype="float32")
     params = init_conditional_params(jax.random.PRNGKey(0), cfg)
     B, S, T = 8, 10, 6
     ids = np_rng.integers(4, 80, (B, S)).astype(np.int32)
@@ -353,3 +357,26 @@ def test_grad_accumulation_under_mesh(tiny_cfg, np_rng):
     for a, b in zip(jax.tree.leaves(sa.params), jax.tree.leaves(sb.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_adamw_skips_unused_leaves():
+    """HF AdamW parity: a leaf whose gradient is exactly zero (an unused
+    head) gets NO update — moments keep their values, the per-leaf step
+    does not advance, and decayed moments don't drift the params."""
+    opt = adamw(lr=1e-2, eps=1e-6)
+    params = {"used": jnp.ones((4,)), "unused": jnp.ones((4,))}
+    state = opt.init(params)
+    g1 = {"used": jnp.full((4,), 0.5), "unused": jnp.full((4,), 0.5)}
+    g0 = {"used": jnp.full((4,), 0.5), "unused": jnp.zeros((4,))}
+    params, state = opt.update(g1, state, params)   # both used
+    p_unused = np.asarray(params["unused"]).copy()
+    m_unused = np.asarray(state.mu["unused"]).copy()
+    for _ in range(3):
+        params, state = opt.update(g0, state, params)  # unused head idle
+    np.testing.assert_array_equal(np.asarray(params["unused"]), p_unused)
+    np.testing.assert_array_equal(np.asarray(state.mu["unused"]), m_unused)
+    assert int(state.leaf_steps["unused"]) == 1
+    assert int(state.leaf_steps["used"]) == 4
+    assert int(state.step) == 4
+    # the used leaf kept moving
+    assert not np.allclose(np.asarray(params["used"]), 1.0)
