@@ -358,3 +358,42 @@ def test_sample_from_top_k_kept_set(np_rng):
             for b, t in enumerate(tok):
                 draws.add((b, int(t)))
         assert draws <= kept, (top_k, top_p, sorted(draws - kept)[:5])
+
+
+@pytest.mark.slow
+def test_beam_parity_with_hf_multichunk_vocab(np_rng):
+    """Beam parity at a vocab WIDER than the chunk-stats chunk (1024):
+    the round-2 forced-token NaN bug was invisible to every tiny-vocab
+    test because a < 1024 vocab always keeps the forced token's chunk
+    finite — this config (vocab 5120 = 5 chunks, d=128, 4 layers) drives
+    the all--inf chunks through the fast-select path on every run."""
+    torch = pytest.importorskip("torch")
+    from kmbart_tpu.config import tiny_config
+    from kmbart_tpu.models.conditional import init_conditional_params
+
+    cfg = tiny_config(dtype="float32", vocab_size=5120, d_model=128,
+                      encoder_layers=4, decoder_layers=4,
+                      encoder_attention_heads=4, decoder_attention_heads=4,
+                      encoder_ffn_dim=256, decoder_ffn_dim=256,
+                      img_feat_id=5000, cls_token_id=5003,
+                      max_position_embeddings=64)
+    params = init_conditional_params(jax.random.PRNGKey(7), cfg)
+    hf = _hf_twin(cfg, params, forced_bos=cfg.bos_token_id,
+                  forced_eos=cfg.eos_token_id)
+    B, S = 4, 12
+    ids = np_rng.integers(4, 4990, (B, S)).astype(np.int32)
+    batch = {"input_ids": ids, "attention_mask": np.ones((B, S), np.int32)}
+    max_length = 14
+    with torch.no_grad():
+        ref = hf.generate(
+            input_ids=torch.tensor(ids.astype(np.int64)),
+            attention_mask=torch.tensor(
+                batch["attention_mask"].astype(np.int64)),
+            max_length=max_length, num_beams=5, do_sample=False,
+            min_length=0, early_stopping=True).numpy()
+    ours = np.asarray(generate(params, cfg, batch, max_length=max_length,
+                               num_beams=5, early_stopping=True))
+    if ref.shape[1] < max_length:
+        ref = np.pad(ref, ((0, 0), (0, max_length - ref.shape[1])),
+                     constant_values=cfg.pad_token_id)
+    np.testing.assert_array_equal(ours, ref)
