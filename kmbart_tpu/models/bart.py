@@ -184,10 +184,11 @@ def _positions(table, length, offset, start=0):
 
 def _res_ln(residual, h, ln):
     """LN(residual + h). A fused Pallas fwd/bwd kernel for this site
-    (bit-matching numerics, tests/test_pallas.py) measured -1.7% on the
-    v5e train step — XLA's surrounding fusions already amortise the LN
-    backward better than a standalone kernel call — so the composition
-    stays; the kernel lives in ops/pallas_ln.py for larger-D configs."""
+    (bit-matching numerics) measured -1.7% on the v5e train step — XLA's
+    surrounding fusions already amortise the LN backward better than a
+    standalone kernel call — so the composition stays (the experiment is
+    recorded in BASELINE.md round-3; the kernel was deleted per the
+    repo's measured-not-kept convention)."""
     return layer_norm(residual + h, ln["scale"], ln["bias"])
 
 

@@ -97,56 +97,3 @@ def test_flash_gradients_match_xla(np_rng):
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5)
-
-
-def test_residual_ln_kernel_matches_reference(np_rng):
-    """Fused residual+LN (ops/pallas_ln.py): forward and all four
-    gradients must match the layer_norm(a+b) composition, in fp32 and
-    bf16, through the Pallas kernel (interpret mode on CPU)."""
-    import functools
-    import jax
-    import jax.numpy as jnp
-    from jax.experimental import pallas as pl
-    import kmbart_tpu.ops.pallas_ln as pln
-
-    orig = pl.pallas_call
-    # route the kernel through the interpreter so CPU tests execute it
-    with_interp = functools.partial(orig, interpret=True)
-    pln.pl.pallas_call = with_interp
-    try:
-        for dtype in (jnp.float32, jnp.bfloat16):
-            N, D = 64, 256
-            a = jnp.asarray(np_rng.normal(size=(4, 16, D)), dtype)
-            b = jnp.asarray(np_rng.normal(size=(4, 16, D)), dtype)
-            scale = jnp.asarray(np_rng.normal(size=(D,)).astype(np.float32))
-            bias = jnp.asarray(np_rng.normal(size=(D,)).astype(np.float32))
-
-            y = pln.residual_layer_norm(a, b, scale, bias)
-            ref = pln.residual_layer_norm_reference(a, b, scale, bias)
-            tol = 1e-6 if dtype == jnp.float32 else 2e-2
-            np.testing.assert_allclose(np.asarray(y, np.float32),
-                                       np.asarray(ref, np.float32),
-                                       rtol=tol, atol=tol)
-
-            def loss_k(a, b, s, bi):
-                return jnp.sum(jnp.sin(
-                    pln.residual_layer_norm(a, b, s, bi).astype(jnp.float32)))
-
-            def loss_r(a, b, s, bi):
-                return jnp.sum(jnp.sin(pln.residual_layer_norm_reference(
-                    a, b, s, bi).astype(jnp.float32)))
-
-            gk = jax.grad(loss_k, argnums=(0, 1, 2, 3))(a, b, scale, bias)
-            gr = jax.grad(loss_r, argnums=(0, 1, 2, 3))(a, b, scale, bias)
-            # bf16 bands are set by the rounding of the bf16 dx outputs /
-            # per-tile f32 reduction regrouping, measured ~2.5% of scale
-            bf16_atol = (0.12, 0.12, 0.6, 0.3)
-            for (k, r), at in zip(zip(gk, gr), bf16_atol):
-                np.testing.assert_allclose(np.asarray(k, np.float32),
-                                           np.asarray(r, np.float32),
-                                           rtol=5e-2 if dtype == jnp.bfloat16
-                                           else 2e-5,
-                                           atol=at if dtype == jnp.bfloat16
-                                           else 2e-5)
-    finally:
-        pln.pl.pallas_call = orig
