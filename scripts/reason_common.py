@@ -24,7 +24,9 @@ def build_generator(args):
                   os.path.join(args.comet_vocab_dir, "merges.txt"))
     n_vocab = len(enc.encoder) + 5 + 1  # +categories +<END> appended rows
     params = gpt.init_gpt_params(jax.random.PRNGKey(0), n_vocab,
-                                 n_ctx=17 + 34 + 1)
+                                 n_ctx=17 + 34 + 1, d_model=args.gpt_dim,
+                                 n_layers=args.gpt_layers,
+                                 n_heads=args.gpt_heads)
     if args.model_file:
         from kmbart_tpu.checkpoint.torch_import import load_torch_checkpoint
         from kmbart_tpu.knowledge.gpt import import_openai_gpt_state_dict
@@ -32,7 +34,8 @@ def build_generator(args):
         params, ok = import_openai_gpt_state_dict(sd, params)
         print("comet weights loaded:", ok, flush=True)
     return AtomicGenerator(params, enc,
-                           sampling_algorithm=args.sampling_algorithm)
+                           sampling_algorithm=args.sampling_algorithm,
+                           n_heads=args.gpt_heads)
 
 
 def get_text_data(entry, index, caption, generator):
@@ -122,6 +125,12 @@ def make_parser(annot_help):
     parser.add_argument("--merge_only", action="store_true")
     parser.add_argument("--num_shards", default=1, type=int)
     parser.add_argument("--shard", default=0, type=int)
+    # model-shape knobs (framework extension): the COMET GPT-1 defaults
+    # match the pretrained checkpoint; smaller values make smoke tests
+    # cheap. Checkpoint import requires the defaults.
+    parser.add_argument("--gpt_dim", default=768, type=int)
+    parser.add_argument("--gpt_layers", default=12, type=int)
+    parser.add_argument("--gpt_heads", default=12, type=int)
     return parser
 
 

@@ -151,3 +151,59 @@ def test_clean_caption():
     from scripts.prep_common import clean_caption
     assert clean_caption("A dog&amp;cat (cute) runs...  fast") == "A dog cat runs. fast"
     assert clean_caption("hello @photographer world", strip_at=True) == "hello"
+
+
+@pytest.mark.slow
+def test_prepare_reason_cli_and_resume(tmp_path):
+    """prepare_vcg_reason end to end on a toy GPT: emits per-shard
+    {split}{shard}{,_eval,_ref}.json + merged reason_{split}.json with
+    task-typed rows, and a re-run resumes from the saved index without
+    duplicating rows (the reference's crude resumability,
+    prepare_sbu_reason.py:126-160)."""
+    import json as _json
+    import sys
+
+    vocab_dir = tmp_path / "gptvocab"
+    vocab_dir.mkdir()
+    vocab = {}
+    for ch in "abcdefghijklmnopqrstuvwxyz0123456789 '":
+        vocab[ch] = len(vocab)
+        vocab[ch + "</w>"] = len(vocab)
+    for sp in ("none</w>", "<END>", "<xIntent>", "<xWant>", "<xNeed>",
+               "<xReact>", "<xEffect>"):
+        vocab[sp] = len(vocab)
+    (vocab_dir / "vocab.json").write_text(_json.dumps(vocab))
+    (vocab_dir / "merges.txt").write_text("#version: toy\n")
+
+    annot = tmp_path / "annot"
+    annot.mkdir()
+    entries = [{"img_id": str(i), "img_fn": f"im{i}.jpg",
+                "event": "person waits at the door"} for i in range(3)]
+    (annot / "train.json").write_text(_json.dumps(entries))
+    out = tmp_path / "out"
+
+    from scripts.reason_common import run
+    argv = ["prog", "--annot_dir", str(annot), "--output_dir", str(out),
+            "--comet_vocab_dir", str(vocab_dir), "--splits", "train",
+            "--save_every", "1", "--gpt_dim", "32", "--gpt_layers", "2",
+            "--gpt_heads", "4"]
+    old = sys.argv
+    try:
+        sys.argv = argv
+        run(caption_key="event", annot_help="x")
+        merged = _json.loads((out / "reason_train.json").read_text())
+        assert merged, "no reasoning rows generated"
+        assert {r["task_type"] for r in merged} <= {"before", "after",
+                                                    "intent"}
+        assert all(r["event"] == "person waits at the door" for r in merged)
+        n_first = len(merged)
+        refs = _json.loads((out / "reason_train_ref.json").read_text())
+        assert len(refs) == 3
+
+        # resume: outputs exist and cover every index -> re-run is a no-op
+        sys.argv = argv
+        run(caption_key="event", annot_help="x")
+        again = _json.loads((out / "reason_train.json").read_text())
+        assert len(again) == n_first
+    finally:
+        sys.argv = old
