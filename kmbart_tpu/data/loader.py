@@ -27,6 +27,13 @@ _WORKER_COLLATE = None
 
 def _worker_init(dataset, collate_fn):
     global _WORKER_DATASET, _WORKER_COLLATE
+    # collation is numpy-only; if anything in the worker transitively
+    # imports jax, keep it OFF the accelerator — spawned workers inherit
+    # the parent's JAX_PLATFORMS and would otherwise each try to grab the
+    # TPU client (measured: 8 spawned workers hung initialising the
+    # remote chip that the training process already owns)
+    import os
+    os.environ["JAX_PLATFORMS"] = "cpu"
     _WORKER_DATASET = dataset
     _WORKER_COLLATE = collate_fn
 
@@ -86,6 +93,7 @@ class DataLoader:
         self.batch_divisor = max(1, batch_divisor)
         self.use_processes = use_processes
         self._epoch = 0
+        self._pool = None
 
     def set_epoch(self, epoch):
         self._epoch = epoch
@@ -151,17 +159,10 @@ class DataLoader:
         # Threads suffice for pickle/numpy-bound datasets; BPE tokenisation is
         # GIL-bound Python, so ``use_processes=True`` runs collation in worker
         # processes (dataset/collator shipped once via the pool initializer).
+        pool = self._get_pool()
         if self.use_processes:
-            # spawn, not fork: the parent holds JAX's multithreaded runtime,
-            # and forking a multithreaded process can deadlock the child
-            # (os.fork warnings under pytest were the symptom)
-            pool = ProcessPoolExecutor(
-                max_workers=self.num_workers, initializer=_worker_init,
-                initargs=(self.dataset, self.collate_fn),
-                mp_context=multiprocessing.get_context("spawn"))
             submit = lambda b: pool.submit(_worker_load, b)
         else:
-            pool = ThreadPoolExecutor(max_workers=self.num_workers)
             submit = lambda b: pool.submit(self._load, b)
         pending = deque()
         cap = self.num_workers + self.prefetch
@@ -181,8 +182,39 @@ class DataLoader:
                 batch = self._resolve(pending.popleft())
                 if batch is not None:
                     yield batch
-        finally:
-            pool.shutdown(wait=False, cancel_futures=True)
+        except BaseException:
+            self.close()
+            raise
+
+    def _get_pool(self):
+        """Worker pool, created once and PERSISTENT across epochs: the
+        spawn startup (8 interpreter boots re-importing the training
+        module) per __iter__ cost more than a whole short epoch; the
+        dataset/collator ship once through the pool initializer."""
+        if self._pool is None:
+            if self.use_processes:
+                # spawn, not fork: the parent holds JAX's multithreaded
+                # runtime, and forking a multithreaded process can
+                # deadlock the child (os.fork warnings under pytest)
+                self._pool = ProcessPoolExecutor(
+                    max_workers=self.num_workers, initializer=_worker_init,
+                    initargs=(self.dataset, self.collate_fn),
+                    mp_context=multiprocessing.get_context("spawn"))
+            else:
+                self._pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        return self._pool
+
+    def close(self):
+        """Shut the worker pool down (also called on iteration error)."""
+        if self._pool is not None:
+            self._pool.shutdown(wait=False, cancel_futures=True)
+            self._pool = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def _resolve(self, item):
         fut, needs_trim = item

@@ -295,3 +295,26 @@ def test_collator_model_fuzz(tokenizer, np_rng):
         loss = loss_jit(params, arrays)
         assert np.isfinite(float(loss)), trial
     assert len(shapes) == 1, "collator output shapes must be static"
+
+
+def test_loader_pool_persists_across_epochs(fixture_dataset, tokenizer):
+    """The worker pool is created once and reused by later epochs (the
+    per-epoch spawn of 8 interpreters cost more than a short epoch), and
+    close() tears it down."""
+    from kmbart_tpu.data.collation import Collator
+    from kmbart_tpu.data.datasets import VCGDataset
+    from kmbart_tpu.data.loader import DataLoader
+
+    ds = VCGDataset(data_dir=fixture_dataset + "/vcg", split="train")
+    col = Collator(tokenizer, has_label=True, max_img_num=4,
+                   image_feature_size=20)
+    loader = DataLoader(ds, batch_size=4, collate_fn=col,
+                        num_workers=2, use_processes=True)
+    n1 = sum(b["input_ids"].shape[0] for b in loader)
+    pool1 = loader._pool
+    assert pool1 is not None
+    n2 = sum(b["input_ids"].shape[0] for b in loader)
+    assert loader._pool is pool1          # reused, not respawned
+    assert n1 == n2 > 0
+    loader.close()
+    assert loader._pool is None
