@@ -130,6 +130,7 @@ def generate(params, cfg: MultiModalBartConfig, batch, *, rng=None, **kwargs):
     Returns np.ndarray [B * num_return_sequences, max_length], grouped
     batch-major exactly like the reference (src/generation.py:34-43).
     """
+    trim = kwargs.pop("trim", True)
     opts = options_from_config(cfg, **kwargs)
     input_ids = jnp.asarray(batch["input_ids"])
     attention_mask = batch.get("attention_mask")
@@ -146,5 +147,12 @@ def generate(params, cfg: MultiModalBartConfig, batch, *, rng=None, **kwargs):
     fn = _compiled_generate(cfg, opts)
     if rng is None:
         rng = jax.random.PRNGKey(np.random.randint(0, 2 ** 31 - 1))
-    out = fn(params, input_ids, image_features, attention_mask, rng)
-    return np.asarray(out)
+    out, eff_len = fn(params, input_ids, image_features, attention_mask, rng)
+    out = np.asarray(out)
+    if trim:
+        # HF-exact output width: the beam path's sent_max_len / the
+        # no-beam path's step count at loop exit (both < max_length only
+        # when every sentence finished early) — byte-identical shapes to
+        # the reference's returned tensor
+        out = out[:, :int(eff_len)]
+    return out

@@ -28,8 +28,10 @@ tensor store. The per-step updates are fully vectorised:
     (this was a 4x wall-clock win on v5e);
   - KV-cache beam reordering is one gather per tensor along the flattened
     batch*beam axis.
-Output is always [B * num_return_sequences, max_length] (pad-filled) —
-the reference trims to the longest sentence, which only changes padding.
+Output is [B * num_return_sequences, max_length] (pad-filled) plus the
+HF finalisation width ``min(max(lens) + 1, max_length)`` — the caller
+trims to it, so the returned shape matches the reference exactly
+(3.0.2 ``_generate_beam_search`` sent_max_len).
 """
 
 import jax
@@ -355,4 +357,6 @@ def beam_search_loop(params, cfg, fbias, enc_hidden, enc_mask, rng, *,
         out = jnp.where(append_eos, eos_token_id, out)
         # anything past the stored length is padding
         out = jnp.where(pos > lens[:, None], pad_token_id, out)
-    return out
+    # HF 3.0.2 finalisation width: sent_max_len = min(max(lens)+1, max_len)
+    eff_len = jnp.minimum(jnp.max(lens) + 1, max_length)
+    return out, eff_len

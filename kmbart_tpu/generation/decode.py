@@ -25,7 +25,10 @@ def greedy_or_sample_loop(params, cfg, fbias, enc_hidden, enc_mask, rng, *,
                           top_k, top_p, repetition_penalty,
                           no_repeat_ngram_size, bad_words_ids,
                           pad_token_id, eos_token_id, decoder_start_token_id):
-    """Decode [B] rows. Returns tokens [B, max_length] (pad after EOS)."""
+    """Decode [B] rows. Returns (tokens [B, max_length] (pad after EOS),
+    eff_len) where eff_len is the step count at loop exit — HF 3.0.2's
+    no-beam path returns exactly that width (its input_ids grow per step
+    and the loop breaks when every row has finished)."""
     B = enc_hidden.shape[0]
     tokens = jnp.full((B, max_length), pad_token_id, jnp.int32)
     tokens = tokens.at[:, 0].set(decoder_start_token_id)
@@ -78,5 +81,5 @@ def greedy_or_sample_loop(params, cfg, fbias, enc_hidden, enc_mask, rng, *,
 
     state = (jnp.int32(1), tokens, cache, unfinished,
              rng if rng is not None else jax.random.PRNGKey(0))
-    _, tokens, _, _, _ = jax.lax.while_loop(cond, body, state)
-    return tokens
+    cur_len, tokens, _, _, _ = jax.lax.while_loop(cond, body, state)
+    return tokens, cur_len

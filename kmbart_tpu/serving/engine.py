@@ -180,9 +180,14 @@ class GenerationEngine:
         ids[row:, 0] = self.cfg.eos_token_id
         mask[row:, 0] = 1
 
+        # trim=False: responses keep the compiled max_length width so a
+        # request's shape doesn't depend on which batch it was coalesced
+        # into (the dummy fill rows finish immediately and would otherwise
+        # interact with the HF-style trim)
         out = generate(self.params, self.cfg,
                        {"input_ids": ids, "attention_mask": mask,
-                        "image_features": feats}, **self.gen_options)
+                        "image_features": feats}, trim=False,
+                       **self.gen_options)
         n_ret = out.shape[0] // B
         row = 0
         for r in reqs:

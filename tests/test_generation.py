@@ -184,9 +184,8 @@ def test_greedy_parity_with_hf(setup):
             attention_mask=torch.tensor(batch["attention_mask"].astype(np.int64)),
             max_length=max_length, num_beams=1, do_sample=False,
             min_length=0).numpy()
-    ours = generate(params, cfg, batch, max_length=max_length)
-    n = min(ref.shape[1], ours.shape[1])
-    np.testing.assert_array_equal(ours[:, :n], ref[:, :n])
+    ours = np.asarray(generate(params, cfg, batch, max_length=max_length))
+    np.testing.assert_array_equal(ours, ref)
 
 
 @pytest.mark.parametrize("kwargs", [
@@ -226,10 +225,7 @@ def test_beam_parity_with_hf(setup, kwargs):
             **kwargs).numpy()
     ours = np.asarray(generate(params, cfg, batch, max_length=max_length,
                                **kwargs))
-    # HF trims trailing all-pad columns; pad ref back out to max_length
-    if ref.shape[1] < max_length:
-        ref = np.pad(ref, ((0, 0), (0, max_length - ref.shape[1])),
-                     constant_values=cfg.pad_token_id)
+    # byte-identical INCLUDING the finalisation width (HF sent_max_len)
     np.testing.assert_array_equal(ours, ref)
 
 
@@ -393,7 +389,50 @@ def test_beam_parity_with_hf_multichunk_vocab(np_rng):
             min_length=0, early_stopping=True).numpy()
     ours = np.asarray(generate(params, cfg, batch, max_length=max_length,
                                num_beams=5, early_stopping=True))
-    if ref.shape[1] < max_length:
-        ref = np.pad(ref, ((0, 0), (0, max_length - ref.shape[1])),
-                     constant_values=cfg.pad_token_id)
     np.testing.assert_array_equal(ours, ref)
+
+
+def test_output_trim_matches_hf_early_finish(setup):
+    """When every sentence finishes early, the returned WIDTH must equal
+    HF's (beam: sent_max_len = max(lens)+1; greedy: the step count at
+    loop exit) — exercised by biasing the LM head hard toward EOS."""
+    torch = pytest.importorskip("torch")
+
+    cfg, params, batch = setup
+    biased = dict(params)
+    biased["final_logits_bias"] = np.asarray(
+        params["final_logits_bias"]).copy()
+    biased["final_logits_bias"][cfg.eos_token_id] += 25.0
+    hf = _hf_twin(cfg, biased, forced_bos=cfg.bos_token_id,
+                  forced_eos=cfg.eos_token_id)
+    max_length = 12
+    with torch.no_grad():
+        ref = hf.generate(
+            input_ids=torch.tensor(batch["input_ids"].astype(np.int64)),
+            attention_mask=torch.tensor(
+                batch["attention_mask"].astype(np.int64)),
+            max_length=max_length, num_beams=3, do_sample=False,
+            min_length=0, early_stopping=True).numpy()
+    ours = np.asarray(generate(biased, cfg, batch, max_length=max_length,
+                               num_beams=3, early_stopping=True))
+    assert ours.shape == ref.shape  # trimmed width, not max_length
+    assert ours.shape[1] < max_length
+    np.testing.assert_array_equal(ours, ref)
+
+    hf_g = _hf_twin(cfg, biased)
+    with torch.no_grad():
+        ref_g = hf_g.generate(
+            input_ids=torch.tensor(batch["input_ids"].astype(np.int64)),
+            attention_mask=torch.tensor(
+                batch["attention_mask"].astype(np.int64)),
+            max_length=max_length, num_beams=1, do_sample=False,
+            min_length=0).numpy()
+    ours_g = np.asarray(generate(biased, cfg, batch, max_length=max_length))
+    assert ours_g.shape == ref_g.shape
+    np.testing.assert_array_equal(ours_g, ref_g)
+
+    # trim=False keeps the fixed compiled width for shape-static callers
+    full = np.asarray(generate(biased, cfg, batch, max_length=max_length,
+                               num_beams=3, early_stopping=True, trim=False))
+    assert full.shape == (3, max_length)
+    np.testing.assert_array_equal(full[:, :ours.shape[1]], ours)
