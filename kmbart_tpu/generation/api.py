@@ -148,11 +148,13 @@ def generate(params, cfg: MultiModalBartConfig, batch, *, rng=None, **kwargs):
     if rng is None:
         rng = jax.random.PRNGKey(np.random.randint(0, 2 ** 31 - 1))
     out, eff_len = fn(params, input_ids, image_features, attention_mask, rng)
-    out = np.asarray(out)
-    if trim:
-        # HF-exact output width: the beam path's sent_max_len / the
-        # no-beam path's step count at loop exit (both < max_length only
-        # when every sentence finished early) — byte-identical shapes to
-        # the reference's returned tensor
-        out = out[:, :int(eff_len)]
-    return out
+    if not trim:
+        return np.asarray(out)
+    # HF-exact output width: the beam path's sent_max_len / the no-beam
+    # path's step count at loop exit (both < max_length only when every
+    # sentence finished early) — byte-identical shapes to the reference's
+    # returned tensor. ONE device_get for both values: a separate scalar
+    # fetch added a full host<->device round-trip per call (measured -13%
+    # decode throughput through the axon relay).
+    out, eff_len = jax.device_get((out, eff_len))
+    return out[:, :int(eff_len)]
