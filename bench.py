@@ -22,6 +22,7 @@ separately as vs_torch_cpu when torch is available.
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -174,11 +175,81 @@ def bench_train():
                 state, m = step(state, dev_batch, key)
             float(m["loss"])  # sync
             dt = time.perf_counter() - t0
-        except Exception:  # e.g. HBM OOM at the largest sweep point
+        except jax.errors.JaxRuntimeError as e:
+            # only runtime failures (HBM OOM at the largest sweep points)
+            # are skippable; anything else should crash the bench loudly
+            print(f"# bench_train: skipping batch {B} (accum {accum}): "
+                  f"{str(e).splitlines()[0][:120]}", file=sys.stderr)
             continue
         tput = B * n_iters / dt
         out[B] = (tput, tput * train_flops_per_sample(cfg) / V5E_PEAK_FLOPS)
     return out
+
+
+PRETRAIN_BATCH = 128
+PRETRAIN_REL = 80  # max_rel_count (src/data/collation.py:28)
+
+
+def bench_pretrain():
+    """Multitask 4-head pretraining step (LM + MRM + attribute + relation,
+    src/model/model.py:125-309 parity) — the reference's PRIMARY workload
+    (pretrain.py). Returns (samples/sec, step ms, trunk-MFU lower bound:
+    head FLOPs are excluded from the numerator, so true MFU is higher)."""
+    jax = _setup_jax()
+    from kmbart_tpu.config import bart_base_config
+    from kmbart_tpu.models.pretraining import (init_pretraining_params,
+                                               pretraining_loss)
+    from kmbart_tpu.parallel.train_step import build_train_step
+    from kmbart_tpu.training.adamw import adamw
+    from kmbart_tpu.training.state import TrainState
+
+    B, R = PRETRAIN_BATCH, PRETRAIN_REL
+    cfg = bart_base_config()
+    params = init_pretraining_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    ids = rng.integers(4, 50000, (B, ENC_LEN)).astype(np.int32)
+    ids[:, 1:31] = cfg.img_feat_id
+    dec = rng.integers(4, 50000, (B, DEC_LEN)).astype(np.int32)
+    soft = rng.random((B, DEC_LEN, cfg.num_labels)).astype(np.float32)
+    soft /= soft.sum(-1, keepdims=True)
+    batch = jax.device_put({
+        "input_ids": ids,
+        "attention_mask": np.ones((B, ENC_LEN), np.int32),
+        "image_features": rng.normal(
+            size=(B, cfg.max_img_num,
+                  cfg.image_feature_size)).astype(np.float32),
+        "decoder_input_ids": dec,
+        "decoder_attention_mask": np.ones((B, DEC_LEN), np.int32),
+        "labels": dec.copy(),
+        "mrm_soft_labels": soft,
+        "mrm_mask": (rng.random((B, DEC_LEN)) < 0.2),
+        "attribute_labels": rng.integers(
+            0, cfg.num_attributes, (B, DEC_LEN)).astype(np.int32),
+        "attribute_mask": (rng.random((B, DEC_LEN)) < 0.2).astype(np.int32),
+        "relation_pairs": rng.integers(0, DEC_LEN, (B, R, 2)).astype(np.int32),
+        "relation_labels": rng.integers(
+            0, cfg.num_relations, (B, R)).astype(np.int32),
+        "relation_mask": (rng.random((B, R)) < 0.5),
+    })
+
+    def loss_fn(p, b, r):
+        loss, _ = pretraining_loss(p, cfg, b, train=True, rng=r)
+        return loss, {}
+
+    step = build_train_step(loss_fn, adamw(lr=1e-5), donate=False)
+    key = jax.random.PRNGKey(0)
+    state = TrainState.create(params)
+    state, m = step(state, batch, key)
+    float(m["loss"])
+    n_iters = 8
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        state, m = step(state, batch, key)
+    float(m["loss"])
+    dt = time.perf_counter() - t0
+    tput = B * n_iters / dt
+    return (tput, dt / n_iters * 1e3,
+            tput * train_flops_per_sample(cfg) / V5E_PEAK_FLOPS)
 
 
 def bench_torch_cpu():
@@ -214,8 +285,16 @@ def main():
     tput, best_batch, step_ms = bench_decode()
     try:
         train = bench_train()
-    except Exception:
+    except Exception as e:
+        print(f"# bench_train failed: {str(e).splitlines()[0][:120]}",
+              file=sys.stderr)
         train = None
+    try:
+        pretrain = bench_pretrain()
+    except Exception as e:
+        print(f"# bench_pretrain failed: {str(e).splitlines()[0][:120]}",
+              file=sys.stderr)
+        pretrain = None
     torch_cpu = None
     if os.environ.get("KMBART_BENCH_SKIP_TORCH") != "1":
         try:
@@ -231,13 +310,18 @@ def main():
         "decode_step_ms": round(step_ms, 3),
     }
     if train:
-        base_b = TRAIN_POINTS[0][0]
-        record["train_samples_per_sec"] = round(train[base_b][0], 2)
-        record["train_mfu"] = round(train[base_b][1], 4)
+        base = train.get(TRAIN_POINTS[0][0])
+        if base:
+            record["train_samples_per_sec"] = round(base[0], 2)
+            record["train_mfu"] = round(base[1], 4)
         peak_b = max(train, key=lambda b: train[b][0])
         record["train_peak_samples_per_sec"] = round(train[peak_b][0], 2)
         record["train_peak_mfu"] = round(train[peak_b][1], 4)
         record["train_peak_batch"] = peak_b
+    if pretrain:
+        record["pretrain_samples_per_sec"] = round(pretrain[0], 2)
+        record["pretrain_step_ms"] = round(pretrain[1], 2)
+        record["pretrain_trunk_mfu"] = round(pretrain[2], 4)
     if torch_cpu:
         record["vs_torch_cpu"] = round(tput / torch_cpu, 2)
     print(json.dumps(record))

@@ -119,5 +119,18 @@ def load_training_data(path, opt_state_template=None):
     out = {"epoch": meta.get("epoch"), "step": meta.get("step"),
            "opt_state": None}
     if opt_state_template is not None and flat:
+        # Legacy (pre per-leaf bias-correction) optimizer checkpoints carry
+        # no leaf_steps/* entries. Seed every leaf step from the saved
+        # global step: the legacy optimizer bias-corrected every leaf with
+        # the global t, so this resumes with identical dynamics instead of
+        # raising KeyError (advisor round-3 finding).
+        if not any(k.startswith("leaf_steps/") for k in flat):
+            step_val = np.asarray(flat.get("step", 0)).astype(np.int32)
+            for path, leaf in jax.tree_util.tree_flatten_with_path(
+                    opt_state_template)[0]:
+                key = "/".join(_path_str(p) for p in path)
+                if key.startswith("leaf_steps/") and key not in flat:
+                    flat[key] = np.broadcast_to(
+                        step_val, np.shape(leaf)).astype(np.int32)
         out["opt_state"] = _unflatten_into(opt_state_template, flat)
     return out

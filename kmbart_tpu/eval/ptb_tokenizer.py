@@ -47,12 +47,18 @@ _ASSIM_RE = re.compile(
 # Common abbreviations whose trailing period is part of the token
 # (CoreNLP keeps these lexically; this list covers caption-ish text).
 _ABBREVS = {
-    "mr", "mrs", "ms", "dr", "prof", "rev", "gen", "sen", "rep", "st",
-    "jr", "sr", "etc", "e.g", "i.e", "vs", "inc", "ltd", "co", "corp",
-    "no", "dept", "univ", "approx", "apt", "ave", "blvd", "rd", "mt",
-    "ft", "oz", "lb", "lbs", "vol", "fig", "jan", "feb", "mar", "apr",
+    "mr", "mrs", "ms", "dr", "prof", "rev", "gen", "sen", "rep",
+    "jr", "sr", "etc", "e.g", "i.e", "vs", "inc", "ltd", "corp",
+    "dept", "univ", "approx", "apt", "ave", "blvd", "rd",
+    "oz", "lb", "lbs", "vol", "fig", "jan", "feb", "mar", "apr",
     "jun", "jul", "aug", "sep", "sept", "oct", "nov", "dec", "a.m", "p.m",
 }
+# Context-dependent abbreviations (CoreNLP keeps the period only in
+# context): "no." needs a following number ("No. 5" — "... says no."
+# splits); the place/unit words need an adjacent digit or capitalized
+# word ("St. Louis", "Mt. Everest", "5 ft.", "Main St.").
+_CTX_FOLLOW_DIGIT = {"no"}
+_CTX_ADJACENT = {"st", "mt", "ft", "co"}
 _PERIOD_HOLD = "\x00"
 
 
@@ -67,8 +73,19 @@ def _protect_abbrev_periods(s):
 
     def abbr(m):
         word = m.group(1)
-        if word.lower().replace(_PERIOD_HOLD, ".") in _ABBREVS:
+        w = word.lower().replace(_PERIOD_HOLD, ".")
+        if w in _ABBREVS:
             return word + _PERIOD_HOLD
+        if w in _CTX_FOLLOW_DIGIT:
+            if re.match(r"\s*\d", m.string[m.end():]):
+                return word + _PERIOD_HOLD
+        elif w in _CTX_ADJACENT:
+            before = m.string[:m.start()]
+            after = m.string[m.end():]
+            if (re.match(r"\s*(\d|[A-Z])", after)
+                    or re.search(r"(\d|\b[A-Z][\w%s]*)\s+$" % _PERIOD_HOLD,
+                                 before)):
+                return word + _PERIOD_HOLD
         return m.group(0)
 
     return re.sub(r"(?i)(?<![\w.])([a-z][\w" + _PERIOD_HOLD + r"]*)\.",

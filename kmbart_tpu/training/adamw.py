@@ -13,6 +13,20 @@ attribute/relation head moments AND their bias-correction step counts
 untouched. Here "untouched" is detected as an exactly-zero gradient leaf,
 which is what the masked losses produce for a head whose mask is empty.
 
+Known, deliberate divergence of that detection: in the reference a head
+that DID run but produced an exactly-zero gradient (e.g. its loss term
+fired inside a mixed batch with an all-masked slice, yielding a zero
+*tensor*, not ``None``) still gets its moments decayed, its per-param
+``t`` advanced, and weight decay applied — HF AdamW only skips on
+``p.grad is None``. With ``skip_unused=True`` (the default) this
+implementation skips that leaf entirely instead. The cases differ only
+when a zero gradient arises from a *ran-but-all-masked* head rather than
+a not-ran head; for the reference's workloads these coincide (a head's
+gradient is zero iff its mask selected nothing), and the zero-leaf test
+is the only signal available under jit's fixed-shape execution, where
+every head always runs. Pass ``skip_unused=False`` for strict
+always-update semantics.
+
 Note torch.optim.AdamW is NOT the parity target: it couples eps differently
 (``sqrt(v_hat) + eps`` vs HF's ``sqrt(v) + eps`` inside the corrected step),
 which diverges measurably for small gradients (found by the N-step

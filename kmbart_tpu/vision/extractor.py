@@ -248,12 +248,18 @@ class FeatureExtractor:
         # filter (CONF_THRESH with 10..50 bounds) can never keep more, so
         # only ~1/6 of the feats/scores cross the host link. ``sel_idx``
         # restores the reference's original (proposal-rank) row order.
+        # ``full_cnt`` is the above-threshold count over ALL post-NMS
+        # proposals — the host needs it to tell "exactly max_boxes kept"
+        # (original order) from "clipped to max_boxes" (conf-descending,
+        # scripts/feature_extractor.py:104-110), which the truncated
+        # top_conf alone cannot distinguish.
+        full_cnt = jnp.sum(max_conf >= self.conf_thresh, axis=1)
         m = min(self.max_boxes, max_conf.shape[1])
         top_conf, sel_idx = jax.lax.top_k(max_conf, m)
         take = lambda x: jnp.take_along_axis(
             x, sel_idx.reshape(sel_idx.shape + (1,) * (x.ndim - 2)), axis=1)
         return (take(proposals), take(feats), take(scores), top_conf,
-                sel_idx)
+                sel_idx, full_cnt)
 
     # ---- public API ----------------------------------------------------------
 
@@ -317,6 +323,20 @@ class FeatureExtractor:
             keep = np.argsort(-max_conf)[: self.max_boxes]
         return keep
 
+    def _batch_keep(self, cnt, sel_idx_row):
+        """Host half of the batched keep rule. ``cnt`` is the
+        above-threshold count over ALL post-NMS proposals (device-side);
+        ``sel_idx_row`` maps arriving conf-descending rows back to original
+        proposal rank. Returns (n_keep, row order), matching _keep_indices:
+        original proposal order when cnt is within [min_boxes, max_boxes]
+        (np.nonzero), conf-descending when clipped to either bound
+        (np.argsort(-max_conf))."""
+        m = len(sel_idx_row)
+        if self.min_boxes <= cnt <= m:
+            return cnt, np.argsort(sel_idx_row[:cnt], kind="stable")
+        n_keep = int(np.clip(cnt, self.min_boxes, m))
+        return n_keep, np.arange(n_keep)
+
     def _extract_without_bbox(self, image):
         """Proposal path (scripts/feature_extractor.py:75-116)."""
         blob, im_scale = get_image_blob(image, pixel_mean=self.pixel_mean,
@@ -358,28 +378,23 @@ class FeatureExtractor:
         stacked = np.zeros((len(blobs), H, W, 3), np.float32)
         for i, blob in enumerate(blobs):
             stacked[i, :blob.shape[0], :blob.shape[1]] = blob
-        proposals, feats, scores, top_conf, sel_idx = self._proposal_batch_j(
+        (proposals, feats, scores, top_conf, sel_idx,
+         full_cnt) = self._proposal_batch_j(
             self.params, jnp.asarray(stacked.astype(blob_dtype)),
             jnp.asarray(np.asarray(sizes, np.float32)))
         proposals = np.asarray(proposals)
         feats = np.asarray(feats, np.float32)
         scores = np.asarray(scores, np.float32)
-        top_conf = np.asarray(top_conf)
+        full_cnt = np.asarray(full_cnt)
         sel_idx = np.asarray(sel_idx)
         out = []
         for i, im_scale in enumerate(scales):
-            # rows arrive conf-descending; the CONF_THRESH / 10..50 rule
-            # keeps a prefix. Row order matches _keep_indices exactly:
-            # original proposal order when the threshold count is in
-            # range (np.nonzero), conf-descending when clipped (argsort)
-            cnt = int((top_conf[i] >= self.conf_thresh).sum())
-            if self.min_boxes <= cnt <= top_conf.shape[1]:
-                n_keep = cnt
-                order = np.argsort(sel_idx[i][:n_keep], kind="stable")
-            else:
-                n_keep = int(np.clip(cnt, self.min_boxes,
-                                     top_conf.shape[1]))
-                order = np.arange(n_keep)
+            # rows arrive conf-descending; _batch_keep reproduces the
+            # CONF_THRESH / 10..50 rule and _keep_indices' row order. The
+            # count comes from the device over ALL post-NMS proposals, so
+            # count > max_boxes (clipped, conf-desc) is distinguishable
+            # from count == max_boxes (in range, original order).
+            n_keep, order = self._batch_keep(int(full_cnt[i]), sel_idx[i])
             out.append({
                 "boxes": proposals[i][:n_keep][order] / im_scale,
                 "scores": scores[i][:n_keep][order],

@@ -44,6 +44,31 @@ def test_training_data_roundtrip(tiny_cfg, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_training_data_legacy_no_leaf_steps(tiny_cfg, tmp_path):
+    """A pre-round-3 optimizer checkpoint (no leaf_steps/* entries) must
+    load with every leaf step seeded from the saved global step instead of
+    raising KeyError (advisor round-3 finding)."""
+    import os
+    cfg = tiny_cfg
+    params = init_conditional_params(jax.random.PRNGKey(5), cfg)
+    opt_state = adamw_init(params)._replace(step=np.int32(7))
+    save_training_data(str(tmp_path), opt_state=opt_state, epoch=2, step=7)
+    # rewrite the npz dropping every leaf_steps entry, as the legacy
+    # format (global-step-only AdamW state) would have produced
+    file = os.path.join(tmp_path, "training_data.npz")
+    with np.load(file) as data:
+        flat = {k: v for k, v in data.items()
+                if not k.startswith("leaf_steps/")}
+    np.savez(file, **flat)
+    out = load_training_data(str(tmp_path),
+                             opt_state_template=adamw_init(params))
+    assert out["epoch"] == 2 and out["step"] == 7
+    loaded = out["opt_state"]
+    assert int(loaded.step) == 7
+    for leaf in jax.tree.leaves(loaded.leaf_steps):
+        assert int(leaf) == 7
+
+
 def test_load_shape_mismatch_raises(tiny_cfg, tmp_path):
     cfg = tiny_cfg
     params = init_conditional_params(jax.random.PRNGKey(4), cfg)

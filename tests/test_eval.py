@@ -299,6 +299,14 @@ PTB_GOLDEN_CORPUS = [
     ("J. K. Rowling wrote it.", "j. k. rowling wrote it"),
     ("Meet at 3 p.m. sharp.", "meet at 3 p.m. sharp"),
     ("St. Louis is big.", "st. louis is big"),
+    # context-dependent abbreviations: "no."/"st."/"ft." keep the period
+    # only next to a digit or capitalized word (CoreNLP behavior)
+    ("He says no.", "he says no"),
+    ("No. 5 won the race.", "no. 5 won the race"),
+    ("The shop on Main St. closed.", "the shop on main st. closed"),
+    ("The ship sank in 20 ft. of water.",
+     "the ship sank in 20 ft. of water"),
+    ("Mt. Everest is high.", "mt. everest is high"),
     ("Apples, pears, etc. were sold.", "apples pears etc. were sold"),
     # ampersand stays inside tokens
     ("AT&T built the line.", "at&t built the line"),

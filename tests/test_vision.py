@@ -343,3 +343,36 @@ def test_extractor_batch_matches_single(np_rng):
     for o in out:
         assert 3 <= o["features"].shape[0] <= 6
         assert o["features"].shape[1] == 2048
+
+
+def test_extractor_batch_keep_matches_keep_indices(np_rng):
+    """_batch_keep (batched host rule over the device's top-max_boxes rows
+    + full above-threshold count) must select the same rows in the same
+    ORDER as _keep_indices (the reference rule over the full max_conf
+    vector) in every regime — in particular when the above-threshold count
+    exceeds max_boxes (advisor round-3 finding: the truncated top_conf
+    alone cannot distinguish count==max_boxes from count>max_boxes, but
+    the reference switches to conf-DESCENDING order there,
+    scripts/feature_extractor.py:108-110)."""
+    from kmbart_tpu.vision.extractor import FeatureExtractor
+    import jax
+    ex = FeatureExtractor(rng=jax.random.PRNGKey(0), num_classes=3,
+                          min_boxes=3, max_boxes=5, conf_thresh=0.5,
+                          dtype="float32")
+    N, m = 24, 5
+    # regimes: below min_boxes, strictly in range, exactly max_boxes,
+    # above max_boxes (the previously-buggy case), all above
+    for n_above in (0, 1, 4, 5, 9, N):
+        for trial in range(5):
+            max_conf = np_rng.uniform(0.0, 0.4, N)
+            above = np_rng.choice(N, size=n_above, replace=False)
+            max_conf[above] = np_rng.uniform(0.6, 1.0, n_above)
+            ref_keep = ex._keep_indices(max_conf)
+            # emulate the device half: conf-descending top-m + full count
+            sel_idx = np.argsort(-max_conf, kind="stable")[:m]
+            cnt = int((max_conf >= ex.conf_thresh).sum())
+            n_keep, order = ex._batch_keep(cnt, sel_idx)
+            got = sel_idx[:n_keep][order]
+            np.testing.assert_array_equal(
+                got, ref_keep,
+                err_msg=f"n_above={n_above} trial={trial}")
