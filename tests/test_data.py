@@ -42,6 +42,142 @@ def test_bpe_real_merges(tmp_path):
     assert bpe.decode(bpe.encode("hello world")) == "hello world"
 
 
+def _train_mini_bpe(corpus_words, n_merges):
+    """Tiny deterministic BPE trainer (most-frequent pair, lexicographic
+    tie-break) so the fuzz runs over a REAL layered merge table."""
+    from collections import Counter
+    from kmbart_tpu.data.bpe import bytes_to_unicode
+    b2u = bytes_to_unicode()
+    words = Counter()
+    for w in corpus_words:
+        words[tuple(b2u[b] for b in w.encode("utf-8"))] += 1
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for word, c in words.items():
+            for a, b in zip(word, word[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        (a, b), cnt = max(sorted(pairs.items()), key=lambda kv: kv[1])
+        if cnt < 2:
+            break
+        merges.append((a, b))
+        new_words = Counter()
+        for word, c in words.items():
+            out, i = [], 0
+            while i < len(word):
+                if i < len(word) - 1 and word[i] == a and word[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(word[i])
+                    i += 1
+            new_words[tuple(out)] += c
+        words = new_words
+    return merges
+
+
+_FUZZ_WORDS = [
+    "the", "a", "person", "man", "woman", "dog", "sitting", "on", "bench",
+    "wants", "to", "eat", "dinner", "quickly", "because", "they", "are",
+    "hungry", "before", "after", "intent", "image", "table", "running",
+    "standing", "holding", "looking", "at", "with", "and", "in", "of",
+]
+
+
+def test_bpe_hf_parity_fuzz(tmp_path):
+    """Fuzz our BPE token-for-token against transformers.BartTokenizer
+    (slow) over the SAME vocab/merges: contractions, unicode categories,
+    emoji, whitespace runs, leading spaces, digit/letter boundaries, and
+    special-token splicing. Every real-data metric rides on byte-exact
+    tokenization (ref: src/data/tokenization.py:2). VERDICT round-3 item 2."""
+    import json
+    transformers = pytest.importorskip("transformers")
+    from kmbart_tpu.data.bpe import ByteLevelBPE, bytes_to_unicode
+
+    # train a ~160-merge table over the fuzz word pool (with and without
+    # the leading-space form, as GPT-2 pretokenization produces both)
+    corpus = _FUZZ_WORDS * 3 + [" " + w for w in _FUZZ_WORDS] * 5 + [
+        "n't", "'ll", "'ve", "'re", "'s", " 123", "2021", "...", "!!",
+    ]
+    merges = _train_mini_bpe(corpus, 160)
+    vocab = {"<s>": 0, "<pad>": 1, "</s>": 2, "<unk>": 3}
+    for ch in bytes_to_unicode().values():
+        vocab.setdefault(ch, len(vocab))
+    for a, b in merges:
+        vocab.setdefault(a + b, len(vocab))
+    vocab["<mask>"] = len(vocab)
+    (tmp_path / "vocab.json").write_text(
+        json.dumps(vocab, ensure_ascii=False))
+    (tmp_path / "merges.txt").write_text(
+        "#version: fuzz\n" + "\n".join(f"{a} {b}" for a, b in merges) + "\n")
+
+    ours = ByteLevelBPE(str(tmp_path / "vocab.json"),
+                        str(tmp_path / "merges.txt"))
+    hf = transformers.BartTokenizer(str(tmp_path / "vocab.json"),
+                                    str(tmp_path / "merges.txt"))
+
+    rng = np.random.default_rng(0)
+    nasties = [
+        "", " ", "  ", "\t", "\n", " \n\t ", "the  the", " leading space",
+        "trailing space ", "don't can't won't it's we're they've i'll i'm",
+        "naïve café jalapeño über señor",
+        "日本語のテキスト", "русский текст", "مرحبا بالعالم",
+        "emoji 😀🎉🚀 end", "mixed123words456", "1,000.50 at 5:30",
+        "UPPER Case MiXeD", "a b", "dash-joined and under_scored",
+        "!!!???...", "quote \"inside\" 'single'", "percent 50% & at&t",
+        "​zero width", "ĠliteralGbyte", "ñ", "🤖", "ab\ncd\nef",
+    ]
+    cases = list(nasties)
+    for _ in range(300):
+        n = int(rng.integers(1, 12))
+        words = [str(rng.choice(_FUZZ_WORDS)) for _ in range(n)]
+        s = " ".join(words)
+        r = rng.random()
+        if r < 0.2:
+            s = s + str(rng.choice([".", "!", "?", "...", ",", "'s"]))
+        elif r < 0.35:
+            s = " " + s
+        elif r < 0.45:
+            s = s.replace(" ", "  ", 1)
+        elif r < 0.55:
+            s = s.title()
+        elif r < 0.65:
+            s = s + " " + str(rng.integers(0, 9999))
+        cases.append(s)
+    for text in cases:
+        ids_ours = ours.encode(text)
+        ids_hf = hf.encode(text, add_special_tokens=False)
+        assert ids_ours == ids_hf, (text, ids_ours, ids_hf)
+        # byte-exact decode both ways (no cleanup so spacing is raw)
+        assert (ours.decode(ids_ours, clean_up_tokenization_spaces=False)
+                == hf.decode(ids_hf, clean_up_tokenization_spaces=False)), text
+
+    # special-token splicing: same 16 added tokens on both sides
+    from kmbart_tpu.data.tokenization import ADDED_TOKENS
+    ours.add_special_tokens(list(ADDED_TOKENS))
+    hf.add_special_tokens({"additional_special_tokens": [
+        transformers.AddedToken(t, lstrip=False, rstrip=False,
+                                normalized=False) for t in ADDED_TOKENS]})
+    for t in ADDED_TOKENS:
+        assert ours.convert_tokens_to_ids(t) == \
+            hf.convert_tokens_to_ids(t), t
+    splice_cases = [
+        "<intent> the man wants to eat",
+        "<img><img_feat><img_feat></img> a dog",
+        "<event> person sitting </event><mlm> the dog </mlm>",
+        "text<before>glued",
+        "<caption> naïve café 😀 <cls>",
+        " <after> leading space <img_feat> ",
+        "<token1><token2><token3><region_caption>",
+    ]
+    for text in splice_cases:
+        ids_ours = ours.encode(text)
+        ids_hf = hf.encode(text, add_special_tokens=False)
+        assert ids_ours == ids_hf, (text, ids_ours, ids_hf)
+
+
 def test_encode_condition_layout(tokenizer):
     enc = tokenizer.encode_condition(
         task_type=["intent", "after"], img_num=[2, 0],
