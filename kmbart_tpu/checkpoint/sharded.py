@@ -75,11 +75,19 @@ def load_sharded(path, template):
     template: a pytree matching the saved structure. Leaves that are
     jax.Arrays (or jax.ShapeDtypeStruct with a ``sharding``) dictate the
     target sharding — shards are loaded straight to their devices. Plain
-    numpy leaves restore as host arrays.
+    numpy leaves restore as fully-replicated arrays on the CURRENT global
+    topology: an explicit target sharding is required because the saved
+    sharding file may describe a different process/device layout (e.g. a
+    2-process-written checkpoint restored into one process after a pod
+    resize — orbax reshards when given explicit shardings, and errors when
+    asked to reuse the stale saved ones).
     """
     import orbax.checkpoint as ocp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
     path = os.path.abspath(path)
+    repl = NamedSharding(Mesh(np.asarray(jax.devices()), ("_restore",)),
+                         PartitionSpec())
 
     def to_abstract(leaf):
         if isinstance(leaf, jax.Array):
@@ -88,7 +96,9 @@ def load_sharded(path, template):
         if isinstance(leaf, jax.ShapeDtypeStruct):
             return leaf
         arr = np.asarray(leaf)
-        return jax.ShapeDtypeStruct(arr.shape, arr.dtype)
+        return jax.ShapeDtypeStruct(
+            arr.shape, jax.dtypes.canonicalize_dtype(arr.dtype),
+            sharding=repl)
 
     abstract = jax.tree_util.tree_map(to_abstract, template)
     ckpt = _checkpointer()

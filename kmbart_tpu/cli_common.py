@@ -81,8 +81,52 @@ def setup_platform(args):
     if getattr(args, 'debug_nans', False):
         jax.config.update('jax_debug_nans', True)
     if getattr(args, 'multihost', False):
-        # coordinator/process env comes from the TPU runtime (GCE metadata)
-        jax.distributed.initialize()
+        # On a TPU pod the coordinator/process env comes from the runtime
+        # (GCE metadata) and the no-arg call auto-detects it. The KMBART_*
+        # env vars allow an explicit rendezvous — used by the real
+        # multi-process CPU tests (tests/test_multiprocess.py) and any
+        # launcher that prefers explicit wiring (the reference's equivalent
+        # is the MASTER_PORT/init_process_group rendezvous, src/utils.py:9-13).
+        addr = os.environ.get('KMBART_COORDINATOR_ADDRESS')
+        if addr:
+            jax.distributed.initialize(
+                coordinator_address=addr,
+                num_processes=int(os.environ['KMBART_NUM_PROCESSES']),
+                process_id=int(os.environ['KMBART_PROCESS_ID']))
+        else:
+            jax.distributed.initialize()
+
+
+def is_main_process():
+    return jax.process_index() == 0
+
+
+def sync_timestamp(timestamp):
+    """Make every process use process 0's run timestamp, so the whole job
+    writes one checkpoint/log directory (the reference forks its workers
+    AFTER the single parent picked the path, pretrain.py:443-448; JAX
+    processes start independently, so agree via a broadcast)."""
+    if jax.process_count() == 1:
+        return timestamp
+    import numpy as np
+    from jax.experimental import multihost_utils
+    buf = np.frombuffer(timestamp.encode().ljust(64), dtype=np.uint8)
+    out = multihost_utils.broadcast_one_to_all(buf)
+    return bytes(np.asarray(out)).decode().strip()
+
+
+def local_batch_divisor(mesh):
+    """Per-process batches must divide the data-mesh shards THIS process
+    feeds (a global batch is assembled from per-process slices via
+    jax.make_array_from_process_local_data)."""
+    if mesh is None:
+        return 1
+    n_data = mesh.shape['data']
+    procs = jax.process_count()
+    if n_data % procs:
+        raise ValueError(
+            f'data-mesh size {n_data} not divisible by {procs} processes')
+    return n_data // procs
 
 
 def apply_dropout_overrides(cfg, args):
@@ -126,7 +170,7 @@ def save_train_checkpoint(path, cfg, state, epoch, args):
         import numpy as _np
         from kmbart_tpu.checkpoint.sharded import save_sharded
         os.makedirs(path, exist_ok=True)
-        if cfg is not None:
+        if cfg is not None and is_main_process():
             cfg.save_json(os.path.join(path, "config.json"))
         # non-blocking: the device->host snapshot is taken before this
         # returns; filesystem writes drain in the background while training
@@ -135,9 +179,13 @@ def save_train_checkpoint(path, cfg, state, epoch, args):
                      {"state": state, "epoch": _np.asarray(epoch)},
                      block=False)
         return
-    save_pretrained(path, cfg, state.params)
-    save_training_data(path, opt_state=state.opt_state, epoch=epoch,
-                       step=int(state.step))
+    # portable npz: process 0 writes the whole (replicated) state — the
+    # reference's rank-0 torch.save (src/utils.py:20-27). np.asarray on a
+    # fully-replicated global array is legal from any process.
+    if is_main_process():
+        save_pretrained(path, cfg, state.params)
+        save_training_data(path, opt_state=state.opt_state, epoch=epoch,
+                           step=int(state.step))
 
 
 def load_sharded_train_checkpoint(args, state_template):

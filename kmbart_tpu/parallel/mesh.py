@@ -54,3 +54,19 @@ def device_arrays(batch):
     """Drop non-array metadata so the batch is a clean jit input pytree."""
     return {k: v for k, v in batch.items()
             if hasattr(v, "shape") and getattr(v, "ndim", 0) >= 1}
+
+
+def place_batch(batch, sharding=None):
+    """Model-input arrays of a collated batch -> device, multi-process aware.
+
+    With a NamedSharding and >1 JAX processes, each process contributes its
+    local slice of the global batch (jax.make_array_from_process_local_data);
+    single-process placement is a plain device_put. ``sharding=None`` leaves
+    host arrays for jit to commit (single-process only)."""
+    arrays = device_arrays(batch)
+    if sharding is None:
+        return arrays
+    if jax.process_count() > 1:
+        return {k: jax.make_array_from_process_local_data(
+                    sharding, np.asarray(v)) for k, v in arrays.items()}
+    return {k: jax.device_put(v, sharding) for k, v in arrays.items()}

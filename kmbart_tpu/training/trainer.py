@@ -46,14 +46,22 @@ def prefetch_to_device(loader, sharding=None, depth=4, inputs_only=True):
 
     import numpy as np
 
+    multiproc = jax.process_count() > 1
+
     def place_leaf(x):
         if not isinstance(x, (np.ndarray, jax.Array)):
             return x
         if sharding is None:
             return jax.device_put(x)
         # batch-major arrays shard on 'data'; rank-0 leaves replicate
-        return jax.device_put(x, sharding if getattr(x, "ndim", 0)
-                              else replicated)
+        sh = sharding if getattr(x, "ndim", 0) else replicated
+        if multiproc:
+            # each process holds only its slice of the global batch
+            # (ShardedSampler); assemble the global array from the
+            # per-process local data — the multihost equivalent of the
+            # single-process device_put below
+            return jax.make_array_from_process_local_data(sh, np.asarray(x))
+        return jax.device_put(x, sh)
 
     def place(b):
         return jax.tree.map(place_leaf,

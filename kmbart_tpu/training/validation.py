@@ -7,16 +7,17 @@ the eval split and scores BLEU-2/METEOR/CIDEr against the reference file.
 
 from datetime import datetime
 
-from kmbart_tpu.parallel.mesh import device_arrays
+from kmbart_tpu.parallel.mesh import place_batch
 
 
 def validate_loss(epoch, params, eval_step, val_loader, *, logger=None,
-                  log_interval=1, tb_writer=None, tag="val"):
+                  log_interval=1, tb_writer=None, tag="val",
+                  batch_sharding=None):
     total_step = len(val_loader)
     loss = 0.0
     start_time = datetime.now()
     for i, batch in enumerate(val_loader):
-        metrics = eval_step(params, device_arrays(batch))
+        metrics = eval_step(params, place_batch(batch, batch_sharding))
         loss += float(metrics["loss"])
         if logger is not None and i % log_interval == 0:
             eta = (total_step - (i + 1)) / (i + 1) * (datetime.now() - start_time)

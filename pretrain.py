@@ -17,8 +17,9 @@ import numpy as np
 
 from kmbart_tpu.cli_common import (
     add_common_model_args, add_dropout_args, add_hardware_args,
-    build_model_params, load_model_config, load_sharded_train_checkpoint,
-    make_mesh_from_args, save_train_checkpoint, setup_platform)
+    build_model_params, is_main_process, load_model_config,
+    load_sharded_train_checkpoint, local_batch_divisor, make_mesh_from_args,
+    save_train_checkpoint, setup_platform, sync_timestamp)
 from kmbart_tpu.checkpoint.io import load_training_data
 from kmbart_tpu.data.collation import Collator
 from kmbart_tpu.data.datasets import (
@@ -81,15 +82,18 @@ def build_datasets(args):
 
 def main(args):
     setup_platform(args)
-    timestamp = datetime.now().strftime("%Y-%m-%d-%H-%M-%S")
+    is_main = is_main_process()
+    timestamp = sync_timestamp(datetime.now().strftime("%Y-%m-%d-%H-%M-%S"))
     checkpoint_path = os.path.join(args.checkpoint_dir, timestamp)
     tb_writer = None
     log_dir = os.path.join(args.log_dir, timestamp) if args.log_dir else None
-    if log_dir is not None:
+    if log_dir is not None and is_main:
         os.makedirs(log_dir, exist_ok=True)
         from kmbart_tpu.utils.tb import SummaryWriter
         tb_writer = SummaryWriter(log_dir=log_dir)
-    logger = Logger(log_file=os.path.join(log_dir, 'log.txt') if log_dir else None)
+    # rank-gated like the reference Logger (src/utils.py:42-79)
+    logger = Logger(log_file=os.path.join(log_dir, 'log.txt')
+                    if (log_dir and is_main) else None, enabled=is_main)
 
     os.makedirs(checkpoint_path, exist_ok=True)
     logger.info('Made checkpoint directory: "{}"'.format(checkpoint_path))
@@ -107,15 +111,20 @@ def main(args):
 
     epoch = 0
     if args.continue_training:
-        td = load_training_data(args.checkpoint,
-                                opt_state_template=state.opt_state)
-        epoch = td['epoch'] + 1
-        if td['opt_state'] is not None:
-            state = state._replace(opt_state=td['opt_state'],
-                                   step=np.int32(td['step'] or 0))
+        sh = load_sharded_train_checkpoint(args, state)
+        if sh is not None:
+            state, saved_epoch = sh
+            epoch = saved_epoch + 1
+        else:
+            td = load_training_data(args.checkpoint,
+                                    opt_state_template=state.opt_state)
+            epoch = td['epoch'] + 1
+            if td['opt_state'] is not None:
+                state = state._replace(opt_state=td['opt_state'],
+                                       step=np.int32(td['step'] or 0))
 
     mesh = make_mesh_from_args(args) if len(jax.devices()) > 1 else None
-    n_data = mesh.shape['data'] if mesh is not None else 1
+    n_data = local_batch_divisor(mesh)  # data shards fed by THIS process
     batch_sharding = None
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
@@ -165,10 +174,15 @@ def main(args):
                                 'step{}'.format(int(state.step)))
             save_train_checkpoint(path, cfg, state, epoch, args)
             logger.info('Saved mid-epoch checkpoint at "{}"'.format(path))
-        if logger is not None and step % 100 == 0:
+        if is_main and step % 100 == 0:
             from kmbart_tpu.models.pretraining import MultiModalBartForPreTraining
+            params = state.params
+            if jax.process_count() > 1:
+                # forward_logits is a process-local jit; pull a host copy of
+                # the (fully replicated) global params for the sample decode
+                params = jax.tree.map(np.asarray, params)
             data = collate_fn([train_dataset[0]])
-            model = MultiModalBartForPreTraining(cfg, params=state.params)
+            model = MultiModalBartForPreTraining(cfg, params=params)
             logits = model.forward_logits(
                 {k: v for k, v in data.items()
                  if hasattr(v, 'shape') and getattr(v, 'ndim', 0) >= 1})

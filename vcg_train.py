@@ -17,8 +17,9 @@ import numpy as np
 
 from kmbart_tpu.cli_common import (
     add_common_model_args, add_dropout_args, add_hardware_args,
-    build_model_params, load_model_config, load_sharded_train_checkpoint,
-    make_mesh_from_args, save_train_checkpoint, setup_platform)
+    build_model_params, is_main_process, load_model_config,
+    load_sharded_train_checkpoint, local_batch_divisor, make_mesh_from_args,
+    save_train_checkpoint, setup_platform, sync_timestamp)
 from kmbart_tpu.checkpoint.io import load_training_data
 from kmbart_tpu.data.collation import Collator
 from kmbart_tpu.data.datasets import VCGDataset
@@ -37,16 +38,19 @@ from kmbart_tpu.utils.logger import Logger
 
 def main(args):
     setup_platform(args)
-    timestamp = datetime.now().strftime("%Y-%m-%d-%H-%M-%S")
+    is_main = is_main_process()
+    timestamp = sync_timestamp(datetime.now().strftime("%Y-%m-%d-%H-%M-%S"))
     checkpoint_path = os.path.join(args.checkpoint_dir, timestamp)
     tb_writer = None
     log_dir = os.path.join(args.log_dir, timestamp) if args.log_dir else None
 
-    if log_dir is not None:
+    if log_dir is not None and is_main:
         os.makedirs(log_dir, exist_ok=True)
         from kmbart_tpu.utils.tb import SummaryWriter
         tb_writer = SummaryWriter(log_dir=log_dir)
-    logger = Logger(log_file=os.path.join(log_dir, 'log.txt') if log_dir else None)
+    # rank-gated like the reference Logger (src/utils.py:42-79)
+    logger = Logger(log_file=os.path.join(log_dir, 'log.txt')
+                    if (log_dir and is_main) else None, enabled=is_main)
 
     os.makedirs(checkpoint_path, exist_ok=True)
     logger.info('Made checkpoint directory: "{}"'.format(checkpoint_path))
@@ -77,7 +81,7 @@ def main(args):
                                        step=np.int32(td['step'] or 0))
 
     mesh = make_mesh_from_args(args) if len(jax.devices()) > 1 else None
-    n_data = mesh.shape['data'] if mesh is not None else 1
+    n_data = local_batch_divisor(mesh)  # data shards fed by THIS process
     batch_sharding = None
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
@@ -107,6 +111,10 @@ def main(args):
                              use_image=args.use_image, use_event=args.use_event)
     val_loader = DataLoader(val_dataset, batch_size=args.batch_size,
                             collate_fn=collate_fn, num_workers=args.num_workers,
+                            sampler=ShardedSampler(len(val_dataset),
+                                                   num_replicas=jax.process_count(),
+                                                   rank=jax.process_index(),
+                                                   shuffle=False),
                             batch_divisor=n_data)
 
     gen_dataset = VCGDataset(args.data_dir, split='val', use_image=args.use_image,
@@ -143,9 +151,14 @@ def main(args):
                                 'step{}'.format(int(state.step)))
             save_train_checkpoint(path, cfg, state, epoch, args)
             logger.info('Saved mid-epoch checkpoint at "{}"'.format(path))
-        if logger is not None and (step + 1) % 100 == 0:
+        if is_main and (step + 1) % 100 == 0:
+            params = state.params
+            if jax.process_count() > 1:
+                # generate() is a process-local jit; pull a host copy of the
+                # (fully replicated) global params for the sample decode
+                params = jax.tree.map(np.asarray, params)
             inputs = collate_fn([train_dataset[0]])
-            out = generate(state.params, cfg,
+            out = generate(params, cfg,
                            {'input_ids': inputs['input_ids'],
                             'attention_mask': inputs['attention_mask'],
                             'image_features': inputs['image_features']},
@@ -173,9 +186,14 @@ def main(args):
         logger.info('Validating Epoch {}'.format(epoch + 1), pad=True)
         if args.validate_loss:
             validate_fine_tune_loss(epoch, state.params, eval_step, val_loader,
-                                    logger=logger, tb_writer=tb_writer)
-        if args.validate_score:
-            validate_generation_score(epoch, state.params, cfg, gen_loader,
+                                    logger=logger, tb_writer=tb_writer,
+                                    batch_sharding=batch_sharding)
+        if args.validate_score and is_main:
+            # decode is process-local; run it on process 0 with host params
+            score_params = state.params
+            if jax.process_count() > 1:
+                score_params = jax.tree.map(np.asarray, state.params)
+            validate_generation_score(epoch, score_params, cfg, gen_loader,
                                       val_ref, tokenizer, args, logger=logger,
                                       tb_writer=tb_writer)
 
