@@ -14,8 +14,11 @@ of the global batch.
 """
 
 import multiprocessing
+import os
+import uuid
 from collections import deque
 from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
+from multiprocessing import shared_memory
 
 import numpy as np
 
@@ -23,6 +26,7 @@ import numpy as np
 # dataset/collator aren't re-pickled for every batch)
 _WORKER_DATASET = None
 _WORKER_COLLATE = None
+_WORKER_SHM = {}  # slot name -> attached SharedMemory (cached per worker)
 
 
 def _worker_init(dataset, collate_fn):
@@ -40,6 +44,60 @@ def _worker_init(dataset, collate_fn):
 
 def _worker_load(idx_batch):
     return _WORKER_COLLATE([_WORKER_DATASET[i] for i in idx_batch])
+
+
+def _worker_attach_shm(name):
+    shm = _WORKER_SHM.get(name)
+    if shm is None:
+        # python 3.12's SharedMemory registers ATTACHMENTS with the (shared)
+        # resource tracker too; since the creating parent already registered
+        # the name, the duplicate entry collapses in the tracker's set and a
+        # later unregister would strip the parent's cleanup registration
+        # (3.13 adds track=False for exactly this). Suppress the attach-side
+        # registration instead — the parent owns segment lifetime end to end.
+        from multiprocessing import resource_tracker
+        orig_register = resource_tracker.register
+        resource_tracker.register = lambda *a, **k: None
+        try:
+            shm = shared_memory.SharedMemory(name=name, create=False)
+        finally:
+            resource_tracker.register = orig_register
+        _WORKER_SHM[name] = shm
+    return shm
+
+
+def _worker_load_shm(idx_batch, slot_name, slot_bytes):
+    """Collate in the worker, ship dense arrays via a shared-memory slot.
+
+    The pickle result pipe carries only per-array metadata (~100 bytes per
+    key); the arrays themselves are memcpy'd into the slot the PARENT
+    assigned to this task, so nothing large is serialised. Synchronisation
+    is free: the parent only reads the slot after this future resolves
+    (result-pipe happens-before), and only reassigns it after copying out.
+    Batches that don't fit the slot (or aren't dicts) fall back to the
+    inline pickled path."""
+    batch = _WORKER_COLLATE([_WORKER_DATASET[i] for i in idx_batch])
+    if not isinstance(batch, dict):
+        return ("inline", batch)
+    order, meta, other, total = [], [], {}, 0
+    for k, v in batch.items():
+        if isinstance(v, np.ndarray) and v.dtype != object:
+            order.append((k, "shm"))
+            a = np.ascontiguousarray(v)
+            off = (total + 63) & ~63  # 64-byte align each array
+            meta.append((k, a.dtype.str, a.shape, off))
+            total = off + a.nbytes
+        else:
+            order.append((k, "other"))
+            other[k] = v
+    if total > slot_bytes:
+        return ("inline", batch)
+    shm = _worker_attach_shm(slot_name)
+    for k, _, _, off in meta:
+        a = np.ascontiguousarray(batch[k])
+        dst = np.frombuffer(shm.buf, np.uint8, a.nbytes, off)
+        dst[:] = a.reshape(-1).view(np.uint8)
+    return ("shm", slot_name, order, meta, other)
 
 
 class ShardedSampler:
@@ -74,13 +132,64 @@ class ShardedSampler:
         return self.num_samples
 
 
+class _ShmRing:
+    """Fixed pool of shared-memory slots for worker->parent batch transport.
+
+    The parent owns slot lifetime end to end: it creates the segments,
+    assigns a free slot to each submitted task, reclaims the slot after
+    copying the batch out, and unlinks everything on close. Workers only
+    ever write a slot the parent handed them for one specific task, so no
+    cross-process locking is needed — the executor's result pipe is the
+    happens-before edge. Segments live in /dev/shm (tmpfs, lazily paged),
+    so over-provisioned slot_bytes costs virtual space only."""
+
+    def __init__(self, n_slots, slot_bytes):
+        self.slot_bytes = slot_bytes
+        tag = uuid.uuid4().hex[:8]
+        self._shm = {}
+        for i in range(n_slots):
+            name = f"kmbart_{os.getpid()}_{tag}_{i}"
+            self._shm[name] = shared_memory.SharedMemory(
+                name=name, create=True, size=slot_bytes)
+        self._free = list(self._shm)
+
+    def acquire(self):
+        return self._free.pop() if self._free else None
+
+    def release(self, name):
+        self._free.append(name)
+
+    def read(self, name, order, meta, other):
+        """Rebuild the batch dict (original key order) by copying each
+        array out of the slot; the slot is reusable immediately after."""
+        shm = self._shm[name]
+        arrays = {}
+        for k, dtype, shape, off in meta:
+            n = int(np.prod(shape, dtype=np.int64))
+            arrays[k] = np.frombuffer(
+                shm.buf, np.dtype(dtype), n, off).reshape(shape).copy()
+        return {k: arrays[k] if src == "shm" else other[k]
+                for k, src in order}
+
+    def close(self):
+        for shm in self._shm.values():
+            try:
+                shm.close()
+                shm.unlink()
+            except Exception:
+                pass
+        self._shm = {}
+        self._free = []
+
+
 class DataLoader:
     """Minimal DataLoader: batches indices, collates with ``collate_fn``,
     prefetches ``prefetch`` batches with ``num_workers`` threads."""
 
     def __init__(self, dataset, batch_size, collate_fn, sampler=None,
                  shuffle=False, num_workers=0, drop_last=False, prefetch=2,
-                 seed=0, batch_divisor=1, use_processes=False):
+                 seed=0, batch_divisor=1, use_processes=False,
+                 shm_transport=True, shm_bytes=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.collate_fn = collate_fn
@@ -92,6 +201,13 @@ class DataLoader:
         self.seed = seed
         self.batch_divisor = max(1, batch_divisor)
         self.use_processes = use_processes
+        # dense batches travel via shared memory by default in process mode:
+        # round-3 measured each ~56 MB batch pickled through the result pipe
+        # costing 8x the single-thread throughput (BASELINE.md headroom
+        # section); with shm only ~100 B/array of metadata crosses the pipe
+        self.shm_transport = shm_transport and use_processes
+        self.shm_bytes = shm_bytes or (128 << 20)
+        self._shm_ring = None
         self._epoch = 0
         self._pool = None
 
@@ -160,20 +276,25 @@ class DataLoader:
         # GIL-bound Python, so ``use_processes=True`` runs collation in worker
         # processes (dataset/collator shipped once via the pool initializer).
         pool = self._get_pool()
-        if self.use_processes:
-            submit = lambda b: pool.submit(_worker_load, b)
-        else:
-            submit = lambda b: pool.submit(self._load, b)
         pending = deque()
         cap = self.num_workers + self.prefetch
+        if self.shm_transport and self._shm_ring is None:
+            self._shm_ring = _ShmRing(cap, self.shm_bytes)
+
+        def submit(b):
+            if self.use_processes:
+                if self._shm_ring is not None:
+                    slot = self._shm_ring.acquire()
+                    if slot is not None:  # cap <= n_slots, so always free
+                        return (pool.submit(_worker_load_shm, b, slot,
+                                            self.shm_bytes), True, slot)
+                return (pool.submit(_worker_load, b), True, None)
+            return (pool.submit(self._load, b), False, None)
+
         try:
             for b in self._index_batches():
-                if self.use_processes:
-                    fut = submit(b)
-                    # divisor trimming happens host-side after the worker
-                    pending.append((fut, True))
-                else:
-                    pending.append((submit(b), False))
+                # divisor trimming happens host-side after process workers
+                pending.append(submit(b))
                 if len(pending) >= cap:
                     batch = self._resolve(pending.popleft())
                     if batch is not None:
@@ -209,6 +330,9 @@ class DataLoader:
         if self._pool is not None:
             self._pool.shutdown(wait=False, cancel_futures=True)
             self._pool = None
+        if self._shm_ring is not None:
+            self._shm_ring.close()
+            self._shm_ring = None
 
     def __del__(self):
         try:
@@ -217,8 +341,17 @@ class DataLoader:
             pass
 
     def _resolve(self, item):
-        fut, needs_trim = item
-        batch = fut.result()
+        fut, needs_trim, slot = item
+        result = fut.result()
+        if slot is not None:
+            if result[0] == "shm":
+                _, name, order, meta, other = result
+                batch = self._shm_ring.read(name, order, meta, other)
+            else:  # oversize / non-dict fallback
+                batch = result[1]
+            self._shm_ring.release(slot)
+        else:
+            batch = result
         if needs_trim:
             batch = self._trim_to_divisor(batch)
         return batch

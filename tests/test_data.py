@@ -385,6 +385,50 @@ def test_loader_process_workers(fixture_dataset, tokenizer):
                                   ref[0]["input_ids"][:got[0]["input_ids"].shape[0]])
 
 
+class _TaggingCollator:
+    """Adds a non-array key so the shm transport's 'other' path is hit."""
+
+    def __init__(self, inner):
+        self.inner = inner
+
+    def __call__(self, samples):
+        batch = self.inner(samples)
+        batch["task_type"] = ["vcg"] * len(samples)
+        return batch
+
+
+@pytest.mark.slow
+def test_loader_shm_transport(fixture_dataset, tokenizer):
+    """Process workers ship dense batches via the shared-memory ring:
+    batches must match the in-process path exactly, non-array values must
+    survive, and oversize batches must fall back to the pickled pipe."""
+    import os
+    ds = VCGDataset(os.path.join(fixture_dataset, "vcg"), split="train")
+    # picklable (spawn ships it through the pool initializer)
+    col = _TaggingCollator(Collator(tokenizer, has_label=True, max_img_num=4,
+                                    image_feature_size=20))
+
+    ref = list(DataLoader(ds, batch_size=5, collate_fn=col))
+    for shm_bytes in (None, 256):  # 256 B forces the inline fallback
+        loader = DataLoader(ds, batch_size=5, collate_fn=col, num_workers=2,
+                            use_processes=True, shm_bytes=shm_bytes)
+        got = list(loader)
+        assert len(got) == len(ref)
+        for g, r in zip(got, ref):
+            assert list(g) == list(r)  # key order preserved
+            assert g["task_type"] == r["task_type"]
+            for k, v in r.items():
+                if isinstance(v, np.ndarray):
+                    np.testing.assert_array_equal(g[k], v)
+        # epoch 2 reuses the persistent pool + ring
+        got2 = list(loader)
+        np.testing.assert_array_equal(got2[0]["input_ids"],
+                                      ref[0]["input_ids"])
+        ring = loader._shm_ring
+        loader.close()
+        assert loader._shm_ring is None and not ring._shm  # unlinked
+
+
 def test_collator_model_fuzz(tokenizer, np_rng):
     """Randomised batches through collation + the full pretraining loss:
     every combination of image counts/task types must produce finite losses
