@@ -31,7 +31,8 @@ ENC_LEN = 72
 DEC_LEN = 40
 MAX_LEN = 32
 BEAMS = 5
-DECODE_BATCHES = (96, 112)  # the round-3 sweep peaks at 112 (BASELINE.md)
+DECODE_BATCHES = (112, 160)  # round-3 peak (112) + the round-4 second
+# plateau (144-176, peak 160, ~+3.5% over 112 same-day; BASELINE.md)
 # (batch, grad_accum_steps): direct batches plus one accumulated point —
 # grad accumulation amortises the optimizer pass over the micro-batches
 # (one AdamW application per effective batch), a standard large-batch

@@ -22,13 +22,17 @@ from kmbart_tpu.generation.api import generate
 # Measured-good decode batch sizes (beam-5, BART-base, v5e; BASELINE.md
 # round-3 batch sweep: 419/474/475/512/535/552/521 sent/s at
 # 32/48/64/80/96/112/128 — monotone up to the 552 peak at 112, then 128
-# regresses ~6%). The engine only compiles/pads to sizes from this table
-# (smallest entry >= the pending request count). The round-2 "batch-80
-# hole" was an artifact of the forced-token NaN bug in the fast-select
-# logsumexp (fixed in ops/pallas_vocab_stats.py), not a tiling property.
-# Override per deployment via the ``batch_buckets`` ctor arg after
-# running the bench sweep on the target hardware/model.
-DEFAULT_BATCH_BUCKETS = (8, 16, 32, 48, 64, 80, 96, 112)
+# regresses ~6%; the round-4 extension found a second, slightly higher
+# plateau at 144-176 (peak 160, ~+3.5% over 112 same-day) before a hard
+# ~25% cliff at 192, so 160 is the top bucket and 128 is deliberately
+# absent — a 113..160-row burst pads straight to the 160 plateau instead
+# of landing in the 128 dip. The engine only compiles/pads to sizes from
+# this table (smallest entry >= the pending request count). The round-2
+# "batch-80 hole" was an artifact of the forced-token NaN bug in the
+# fast-select logsumexp (fixed in ops/pallas_vocab_stats.py), not a
+# tiling property. Override per deployment via the ``batch_buckets`` ctor
+# arg after running the bench sweep on the target hardware/model.
+DEFAULT_BATCH_BUCKETS = (8, 16, 32, 48, 64, 80, 96, 112, 160)
 
 
 class _Request:
@@ -188,6 +192,11 @@ class GenerationEngine:
                        {"input_ids": ids, "attention_mask": mask,
                         "image_features": feats}, trim=False,
                        **self.gen_options)
+        # ONE host fetch per coalesced batch: resolving futures with device
+        # slices would defer the device->host copy into each consumer's
+        # .result(), turning one transfer into num_requests round trips
+        # (serialised, and brutal through a tunnel-attached chip)
+        out = np.asarray(out)
         n_ret = out.shape[0] // B
         row = 0
         for r in reqs:
