@@ -109,6 +109,14 @@ class MultiModalBartConfig:
     # right rows inside the fused self-attention
     # (ops/pallas_beam_attention.py). False falls back to the fused
     # permute-in-scan path (bart.decode_step reorder_idx).
+    sample_radix_bits: int = 0  # beam-sampling top-k extraction: 0 (the
+    # default) = greedy chunk-max walk; N>0 = radix select with N bits per
+    # counting round (ops/topk.py radix_top_k). The radix path was built to
+    # test round-3's bisected-kth-value sketch and REFUTED on v5e: its
+    # 32/N counting rounds re-read the full [B*K, V] row each time, while
+    # the greedy walk reads it once and then touches only [B*K, C] /
+    # [B*K, chunk] tiles - measured 337 vs 257/189 sent/s (bits 1/2) on
+    # beam-5 sampling at batch 96 (BASELINE.md round-4).
 
     def __post_init__(self):
         # frozen dataclass: normalise unhashable field values in place

@@ -44,7 +44,7 @@ from kmbart_tpu.ops.pallas_vocab_stats import (chunk_stats,
                                                chunk_stats_reference,
                                                chunk_stats_supported,
                                                logsumexp_from_stats)
-from kmbart_tpu.ops.topk import (exact_top_k, pad_to_chunks,
+from kmbart_tpu.ops.topk import (exact_top_k, pad_to_chunks, radix_top_k,
                                  topk_from_chunk_stats)
 
 NEG_1E9 = -1e9
@@ -224,8 +224,22 @@ def beam_search_loop(params, cfg, fbias, enc_hidden, enc_mask, rng, *,
                 if fast_sample:
                     # top-k of the raw logits == top-k of the normalised
                     # scores (per-row monotonic); normalise the survivors
-                    # with the fused lse instead of a [BK, V] log_softmax
-                    raw_vals, vidx = topk_from_chunk_stats(xr, cm, kk)
+                    # with the fused lse instead of a [BK, V] log_softmax.
+                    # Extraction: radix select (fixed pass count) beats the
+                    # k-step greedy walk at k=50 (round-4 A/B, BASELINE.md);
+                    # sample_radix_bits=0 keeps the greedy path. The
+
+                    # survivors come out sorted (a [BK, kk] top_k — cheap)
+                    # so candidate POSITIONS match the greedy walk exactly:
+                    # the gumbel draw is then bit-identical for a fixed key
+                    # across both impls, and top-p's cumsum sees descending
+                    # order as it requires.
+                    radix_bits = getattr(cfg, "sample_radix_bits", 2)
+                    if radix_bits:
+                        raw_vals, vidx = radix_top_k(
+                            xr, kk, bits=radix_bits, sort=True)
+                    else:
+                        raw_vals, vidx = topk_from_chunk_stats(xr, cm, kk)
                     vals = ((raw_vals - lse[:, None])
                             + beam_scores.reshape(BK, 1))
                 else:

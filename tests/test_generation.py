@@ -245,6 +245,33 @@ def test_exact_top_k_matches_lax(np_rng):
     np.testing.assert_array_equal(np.asarray(i3), np.asarray(i4))
 
 
+def test_radix_top_k_matches_lax(np_rng):
+    """The radix-select exact top-k (sampling fast path) must reproduce
+    lax.top_k bit-for-bit: values, indices, and tie order — across ties,
+    negatives, -inf padding, and heavy-duplication rows."""
+    import jax.numpy as jnp
+    from kmbart_tpu.ops.topk import pad_to_chunks, radix_top_k
+
+    for bits in (1, 2, 4):
+        x = np_rng.normal(size=(6, 50320)).astype(np.float32) * 5
+        x[0, 123] = x[0, 456] = x[0, 40000] = 99.0   # cross-chunk ties
+        x[1, :] = -np.abs(x[1, :])                   # all negative
+        x[2, :] = 1.25                               # fully degenerate row
+        x[3, ::7] = -np.inf
+        x[4, :60] = np.arange(60)                    # top-k inside one chunk
+        v, i = radix_top_k(pad_to_chunks(jnp.asarray(x)), 50, bits=bits)
+        rv, ri = jax.lax.top_k(jnp.asarray(x), 50)
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(rv))
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
+    # quantised fuzz: many exact ties at the kth boundary
+    for t in range(5):
+        x = np.round(np_rng.normal(size=(4, 20000)) * 3).astype(np.float32)
+        v, i = radix_top_k(pad_to_chunks(jnp.asarray(x)), 13)
+        rv, ri = jax.lax.top_k(jnp.asarray(x), 13)
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(rv))
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
+
+
 @pytest.mark.parametrize("sizes", [
     ((4, 5000), (3, 4096)),
     pytest.param(((8, 50320),), marks=pytest.mark.slow),  # real-vocab width
