@@ -37,7 +37,9 @@ DECODE_BATCHES = (112, 160)  # round-3 peak (112) + the round-4 second
 # grad accumulation amortises the optimizer pass over the micro-batches
 # (one AdamW application per effective batch), a standard large-batch
 # recipe the CLIs expose via --grad_accum_steps. OOM points are skipped.
-TRAIN_POINTS = ((32, 1), (128, 1), (192, 1), (512, 4))
+TRAIN_POINTS = ((32, 1), (128, 1), (512, 4))  # round-3 also swept 192
+# (1926 samples/s — between the 128 and 512 points, not load-bearing);
+# dropped to keep the whole bench inside a ~8 min budget on the tunnel
 
 # BASELINE.md "Reference throughput anchor": estimated HF 3.0.2 beam-5
 # decode on the reference's era GPU (V100-class), sentences/sec.
@@ -253,6 +255,67 @@ def bench_pretrain():
             tput * train_flops_per_sample(cfg) / V5E_PEAK_FLOPS)
 
 
+def bench_serving(target_rate, secs=12.0):
+    """GenerationEngine under open-loop Poisson load (text-only requests:
+    the per-request 246 KB ROI-feature payload is tunnel-bound in THIS
+    environment — see BASELINE.md round-4 serving section — and would
+    measure the relay, not the engine). Offered rate is set just under
+    the offline decode ceiling; reports sustained completion rate and
+    request latency percentiles."""
+    import threading
+    jax = _setup_jax()
+    from kmbart_tpu.config import bart_base_config
+    from kmbart_tpu.models.conditional import init_conditional_params
+    from kmbart_tpu.serving.engine import GenerationEngine
+
+    cfg = bart_base_config()
+    params = jax.device_put(init_conditional_params(jax.random.PRNGKey(0), cfg))
+    buckets = (112, 160)  # at 0.85x-ceiling offered load the window
+    # coalescing almost always lands on these two; smaller buckets would
+    # each cost a compile-cache load in the bench budget
+    eng = GenerationEngine(params, cfg, max_batch_size=buckets[-1],
+                           encoder_seq_len=ENC_LEN, batch_buckets=buckets,
+                           max_wait_ms=5.0, num_beams=BEAMS,
+                           max_length=MAX_LEN, early_stopping=True)
+    rng = np.random.default_rng(0)
+    try:
+        for b in buckets:  # pre-compile every bucket
+            eng.submit(rng.integers(
+                4, 50000, (b, ENC_LEN)).astype(np.int32)).result()
+        ids_pool = rng.integers(4, 50000, (256, ENC_LEN)).astype(np.int32)
+        lat, lock = [], threading.Lock()
+        gaps = rng.exponential(1.0 / target_rate,
+                               size=int(target_rate * secs * 1.2))
+        t_start = time.perf_counter()
+        n_sent = 0
+        for gap in gaps:
+            target = t_start + gaps[:n_sent + 1].sum()
+            now = time.perf_counter()
+            if now > t_start + secs:
+                break
+            if target > now:
+                time.sleep(target - now)
+            t0 = time.perf_counter()
+            fut = eng.submit(ids_pool[n_sent % 256:n_sent % 256 + 1])
+            fut.add_done_callback(
+                lambda f, t0=t0: (f.exception() is None and
+                                  (lock.acquire(),
+                                   lat.append(time.perf_counter() - t0),
+                                   lock.release())))
+            n_sent += 1
+        deadline = time.perf_counter() + 30
+        while len(lat) < n_sent and time.perf_counter() < deadline:
+            time.sleep(0.05)
+        wall = time.perf_counter() - t_start
+    finally:
+        eng.shutdown()
+    lat_ms = np.sort(np.array(lat)) * 1e3
+    return {"offered": round(target_rate, 1),
+            "sustained": round(len(lat) / wall, 2),
+            "p50_ms": round(float(np.percentile(lat_ms, 50)), 1),
+            "p99_ms": round(float(np.percentile(lat_ms, 99)), 1)}
+
+
 def bench_torch_cpu():
     """transformers BART beam search, torch CPU — the only runnable torch
     stand-in on this machine (reported as vs_torch_cpu, NOT the anchor)."""
@@ -282,26 +345,30 @@ def bench_torch_cpu():
     return B / dt
 
 
+def _phase(name, fn, *a, **kw):
+    """Run one bench phase; failures degrade to None (stderr note), and
+    per-phase wall time goes to stderr so a driver timeout is attributable."""
+    t0 = time.perf_counter()
+    try:
+        out = fn(*a, **kw)
+    except Exception as e:
+        print(f"# bench {name} failed: {str(e).splitlines()[0][:120]}",
+              file=sys.stderr)
+        out = None
+    print(f"# bench phase {name}: {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr, flush=True)
+    return out
+
+
 def main():
-    tput, best_batch, step_ms = bench_decode()
-    try:
-        train = bench_train()
-    except Exception as e:
-        print(f"# bench_train failed: {str(e).splitlines()[0][:120]}",
-              file=sys.stderr)
-        train = None
-    try:
-        pretrain = bench_pretrain()
-    except Exception as e:
-        print(f"# bench_pretrain failed: {str(e).splitlines()[0][:120]}",
-              file=sys.stderr)
-        pretrain = None
+    tput, best_batch, step_ms = _phase("decode", bench_decode) or \
+        sys.exit("bench_decode failed")
+    serving = _phase("serving", bench_serving, target_rate=0.85 * tput)
+    train = _phase("train", bench_train)
+    pretrain = _phase("pretrain", bench_pretrain)
     torch_cpu = None
     if os.environ.get("KMBART_BENCH_SKIP_TORCH") != "1":
-        try:
-            torch_cpu = bench_torch_cpu()
-        except Exception:
-            torch_cpu = None
+        torch_cpu = _phase("torch_cpu", bench_torch_cpu)
     record = {
         "metric": "beam5_decode_throughput",
         "value": round(tput, 2),
@@ -323,6 +390,11 @@ def main():
         record["pretrain_samples_per_sec"] = round(pretrain[0], 2)
         record["pretrain_step_ms"] = round(pretrain[1], 2)
         record["pretrain_trunk_mfu"] = round(pretrain[2], 4)
+    if serving:
+        record["serving_offered_per_sec"] = serving["offered"]
+        record["serving_sustained_per_sec"] = serving["sustained"]
+        record["serving_p50_ms"] = serving["p50_ms"]
+        record["serving_p99_ms"] = serving["p99_ms"]
     if torch_cpu:
         record["vs_torch_cpu"] = round(tput / torch_cpu, 2)
     print(json.dumps(record))

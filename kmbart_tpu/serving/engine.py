@@ -47,7 +47,7 @@ class _Request:
 class GenerationEngine:
     def __init__(self, params, cfg, tokenizer=None, *, max_batch_size=32,
                  encoder_seq_len=None, max_wait_ms=5.0, batch_buckets=None,
-                 **gen_options):
+                 feature_dtype=np.float32, **gen_options):
         """gen_options: forwarded to generate() (num_beams, max_length, ...).
 
         ``encoder_seq_len``: static bucket; requests are padded to it
@@ -57,7 +57,16 @@ class GenerationEngine:
         ``batch_buckets``: ascending measured-good batch sizes (see
         DEFAULT_BATCH_BUCKETS); a batch pads to the smallest bucket that
         fits, capped by ``max_batch_size`` — so a burst of 70 requests
-        lands on the measured-good 96, never in the batch-80 tiling hole."""
+        lands on the measured-good 96, never in the batch-80 tiling hole.
+
+        ``feature_dtype``: dtype the padded ROI-feature tensor is shipped
+        to the device in. The model computes its image embedding in bf16
+        anyway, so ``jnp.bfloat16`` halves host->device feature bytes
+        (the batch is padded to the bucket, so a sparse batch uploads the
+        full bucket's rows — on narrow links this dominates; BASELINE.md
+        round-4 serving section) at a <1e-2 relative feature quantisation
+        that is invisible after the bf16 matmul. float32 default keeps
+        serving bit-identical to the offline CLI decode."""
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -69,6 +78,7 @@ class GenerationEngine:
         self.batch_buckets = buckets
         self.encoder_seq_len = encoder_seq_len
         self.max_wait_ms = max_wait_ms
+        self.feature_dtype = feature_dtype
         self.gen_options = gen_options
         self._queue = queue.Queue()
         self._carry = None  # request that didn't fit the previous batch
@@ -168,7 +178,8 @@ class GenerationEngine:
         feats = None
         if any(r.batch.get("image_features") is not None for r in reqs):
             feats = np.zeros((B, self.cfg.max_img_num,
-                              self.cfg.image_feature_size), np.float32)
+                              self.cfg.image_feature_size),
+                             self.feature_dtype)
         row = 0
         for r in reqs:
             b = r.batch
@@ -176,7 +187,7 @@ class GenerationEngine:
             ids[row:row + r.n, :w] = b["input_ids"][:, :width]
             mask[row:row + r.n, :w] = b["attention_mask"][:, :width]
             if feats is not None and b.get("image_features") is not None:
-                f = np.asarray(b["image_features"], np.float32)
+                f = np.asarray(b["image_features"], self.feature_dtype)
                 feats[row:row + r.n, :f.shape[1]] = f[:, :self.cfg.max_img_num]
             row += r.n
         # dummy rows keep the compiled shape; give them a real token so the

@@ -51,6 +51,28 @@ def test_engine_multirow_and_errors(tiny_cfg, np_rng):
         engine.shutdown()
 
 
+def test_engine_host_results_and_feature_dtype(tiny_cfg, np_rng):
+    """Futures resolve to HOST numpy arrays (one device fetch per coalesced
+    batch, not one per consumer), and feature_dtype=bfloat16 ships the
+    padded ROI tensor at half width without changing output shape."""
+    import jax.numpy as jnp
+    cfg = tiny_cfg.replace(dtype="float32")
+    params = init_conditional_params(jax.random.PRNGKey(2), cfg)
+    engine = GenerationEngine(params, cfg, max_batch_size=4,
+                              encoder_seq_len=16, max_length=6,
+                              feature_dtype=jnp.bfloat16)
+    try:
+        ids = np_rng.integers(4, 80, (2, 7)).astype(np.int32)
+        ids[:, 1:3] = cfg.img_feat_id
+        feats = np_rng.normal(size=(2, cfg.max_img_num,
+                                    cfg.image_feature_size)).astype(np.float32)
+        out = engine.submit(ids, image_features=feats).result(timeout=120)
+        assert isinstance(out, np.ndarray)
+        assert out.shape == (2, 6)
+    finally:
+        engine.shutdown()
+
+
 def test_http_server(tiny_cfg, np_rng, toy_assets):
     """HTTP front end end-to-end: health + text + token-id requests."""
     import json
