@@ -152,7 +152,10 @@ def bench_train():
     key = jax.random.PRNGKey(0)
     out = {}
     for B, accum in TRAIN_POINTS:
-        step = build_train_step(loss_fn, adamw(lr=1e-5), donate=False,
+        # donate=True matches the real trainer (training/trainer.py); the
+        # round-4 profile showed donate=False adds ~1.3 ms of defensive
+        # copies to the fused-attention step
+        step = build_train_step(loss_fn, adamw(lr=1e-5), donate=True,
                                 grad_accum_steps=accum)
         ids = rng.integers(4, 50000, (B, ENC_LEN)).astype(np.int32)
         ids[:, 1:31] = cfg.img_feat_id
@@ -239,7 +242,7 @@ def bench_pretrain():
         loss, _ = pretraining_loss(p, cfg, b, train=True, rng=r)
         return loss, {}
 
-    step = build_train_step(loss_fn, adamw(lr=1e-5), donate=False)
+    step = build_train_step(loss_fn, adamw(lr=1e-5), donate=True)
     key = jax.random.PRNGKey(0)
     state = TrainState.create(params)
     state, m = step(state, batch, key)

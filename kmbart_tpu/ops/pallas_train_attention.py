@@ -1,0 +1,268 @@
+"""Fused Pallas attention for the TRAINING hot path (short sequences).
+
+Round-4 profile of the plain batch-128 fine-tune step (BASELINE.md): the
+XLA composite attention (ops/attention.py:attention_core) cost ~10.5 ms of
+a 62 ms device step while its score/value matmuls are only ~0.1 TFLOP
+(~0.5 ms at v5e peak) — the rest is materialised [B, H, Tq, Tk] fp32
+scores, two softmax passes, the probs convert, and the [B,T,768] ->
+[B,T,H,hd] head-split retile (a physical copy, ~2.6 ms alone).
+
+This kernel removes all of that for the shapes this model family trains at
+(Tq, Tk <= 256): one grid program per *batch element*, operands stay FLAT
+[B, T, D] exactly as the QKV projections produce them (no head-split
+reshape anywhere), and each head's [Tq, Tk] score tile lives entirely in
+VMEM — full softmax in registers, no online rescaling needed. Both the
+forward AND the backward are fused kernels (the older long-sequence kernel
+in ops/pallas_attention.py differentiates through XLA math, which
+re-materialises scores and gave back the win at these shapes).
+
+Numerics match the composite: q scaled by head_dim**-0.5 in bf16, QK/PV on
+the MXU in bf16 with fp32 accumulation, softmax statistics in fp32,
+additive -1e9 key-padding bias, optional causal mask. Attention-prob
+dropout is NOT supported (the reference's configs pin attention_dropout
+0.0 — config/pretrain_base.json); the caller gates on that.
+
+Parity target: HF 3.0.2 SelfAttention used by the reference
+(src/model/modules.py:8-14) — same math as ops/attention.py.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+NEG_INF = -1e9
+
+
+def _softmax_rows(s):
+    """Row softmax in fp32; identical to jax.nn.softmax(axis=-1)."""
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    return p / jnp.sum(p, axis=-1, keepdims=True)
+
+
+def _causal_mask(tq, tk):
+    q_pos = jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 0)
+    k_pos = jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
+    return k_pos <= q_pos
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, num_heads, causal):
+    """One batch element: q [1, Tq, D], k/v [1, Tk, D], bias [1, Tk] fp32."""
+    tq = q_ref.shape[1]
+    tk = k_ref.shape[1]
+    hd = q_ref.shape[2] // num_heads
+    scale = hd ** -0.5
+    bias = bias_ref[0].astype(jnp.float32)                   # [1, Tk]
+    cmask = _causal_mask(tq, tk) if causal else None
+    q = q_ref[0] * jnp.asarray(scale, q_ref.dtype)           # bf16, matches
+    k = k_ref[0]                                             # composite path
+    v = v_ref[0]
+    for h in range(num_heads):
+        cols = slice(h * hd, (h + 1) * hd)
+        s = jax.lax.dot_general(
+            q[:, cols], k[:, cols], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) + bias       # [Tq, Tk] f32
+        if cmask is not None:
+            s = jnp.where(cmask, s, NEG_INF)
+        p = _softmax_rows(s).astype(q_ref.dtype)
+        o_ref[0, :, cols] = jax.lax.dot_general(
+            p, v[:, cols], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref,
+                dq_ref, dk_ref, dv_ref, *, num_heads, causal):
+    """Recompute-softmax backward, one batch element per program.
+
+    dv = p^T g;  dp = g v^T;  ds = p * (dp - rowsum(dp*p));
+    dq = (ds k) * scale;  dk = ds^T (q*scale).
+
+    Mosaic lowers transposed-LHS contractions ((0,0) dimension numbers)
+    ~2-3x slower than clean (M,K)x(K,N) dots at these tile sizes (measured
+    in _exp/attn_bwd_variants.py), so when Tq == Tk we RECOMPUTE the score
+    matrix transposed (s_T = k q^T) and express dv/dk as clean dots on the
+    transposed side — 7 clean dots beat 5 dots of which 2 are transposed
+    (enc 1.50 -> 1.12 ms, dec 1.61 -> 1.08 ms isolated). For Tq != Tk
+    (cross-attention) the transposed-side recompute costs more than it
+    saves; keep the 5-dot form there.
+    """
+    tq = q_ref.shape[1]
+    tk = k_ref.shape[1]
+    hd = q_ref.shape[2] // num_heads
+    scale = hd ** -0.5
+    bias = bias_ref[0].astype(jnp.float32)                    # [1, Tk]
+    cmask = _causal_mask(tq, tk) if causal else None
+    qs = q_ref[0] * jnp.asarray(scale, q_ref.dtype)
+    k = k_ref[0]
+    v = v_ref[0]
+    g = g_ref[0]
+    transpose_free = tq == tk
+    for h in range(num_heads):
+        cols = slice(h * hd, (h + 1) * hd)
+        qh, kh, vh, gh = qs[:, cols], k[:, cols], v[:, cols], g[:, cols]
+        s = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) + bias
+        if cmask is not None:
+            s = jnp.where(cmask, s, NEG_INF)
+        p = _softmax_rows(s)                                  # [Tq, Tk] f32
+        dp = jax.lax.dot_general(                              # g @ v^T
+            gh, vh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        ds_b = ds.astype(q_ref.dtype)
+        dq_ref[0, :, cols] = (jax.lax.dot_general(             # ds @ k
+            ds_b, kh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale).astype(dq_ref.dtype)
+        if transpose_free:
+            # transposed-side recompute: s_T [Tk, Tq], bias enters as a
+            # per-ROW offset (softmax is shift-invariant per column of s_T
+            # only across k — the bias varies with k, i.e. with the ROW
+            # here, so it must be added before the column softmax)
+            sT = jax.lax.dot_general(
+                kh, qh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) + bias.reshape(tk, 1)
+            if cmask is not None:
+                # transposed causal mask built directly (tpu.transpose on
+                # a bool vector fails to legalize in Mosaic)
+                k_pos = jax.lax.broadcasted_iota(jnp.int32, (tk, tq), 0)
+                q_pos = jax.lax.broadcasted_iota(jnp.int32, (tk, tq), 1)
+                sT = jnp.where(k_pos <= q_pos, sT, NEG_INF)
+            mT = jnp.max(sT, axis=0, keepdims=True)
+            eT = jnp.exp(sT - mT)
+            pT = eT / jnp.sum(eT, axis=0, keepdims=True)      # [Tk, Tq]
+            pT_b = pT.astype(q_ref.dtype)
+            dv_ref[0, :, cols] = jax.lax.dot_general(          # p^T @ g
+                pT_b, gh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+            dpT = jax.lax.dot_general(                         # v @ g^T
+                vh, gh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            rT = jnp.sum(dpT * pT, axis=0, keepdims=True)
+            dsT_b = (pT * (dpT - rT)).astype(q_ref.dtype)
+            dk_ref[0, :, cols] = jax.lax.dot_general(          # ds^T @ q_s
+                dsT_b, qh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+        else:
+            p_b = p.astype(q_ref.dtype)
+            dv_ref[0, :, cols] = jax.lax.dot_general(          # p^T @ g
+                p_b, gh, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+            dk_ref[0, :, cols] = jax.lax.dot_general(          # ds^T @ q_s
+                ds_b, qh, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+
+
+def _specs(b_dummy, tq, tk, d):
+    del b_dummy
+    return [
+        pl.BlockSpec((1, tq, d), lambda i: (i, 0, 0)),
+        pl.BlockSpec((1, tk, d), lambda i: (i, 0, 0)),
+        pl.BlockSpec((1, tk, d), lambda i: (i, 0, 0)),
+        # bias rides as [B, 1, Tk] so its block == full trailing dims
+        # (TPU block tiling requires that for non-8/128 extents)
+        pl.BlockSpec((1, 1, tk), lambda i: (i, 0, 0)),
+    ]
+
+
+def _fwd_call(q, k, v, key_bias, num_heads, causal, interpret):
+    B, Tq, D = q.shape
+    Tk = k.shape[1]
+    kernel = functools.partial(_fwd_kernel, num_heads=num_heads,
+                               causal=causal)
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=_specs(B, Tq, Tk, D),
+        out_specs=pl.BlockSpec((1, Tq, D), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Tq, D), q.dtype),
+        interpret=interpret,
+    )(q, k, v, key_bias)
+
+
+def _bwd_call(q, k, v, key_bias, g, num_heads, causal, interpret):
+    B, Tq, D = q.shape
+    Tk = k.shape[1]
+    kernel = functools.partial(_bwd_kernel, num_heads=num_heads,
+                               causal=causal)
+    specs = _specs(B, Tq, Tk, D)
+    specs.append(pl.BlockSpec((1, Tq, D), lambda i: (i, 0, 0)))   # g
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=specs,
+        out_specs=[
+            pl.BlockSpec((1, Tq, D), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, Tk, D), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, Tk, D), lambda i: (i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Tq, D), q.dtype),
+            jax.ShapeDtypeStruct((B, Tk, D), k.dtype),
+            jax.ShapeDtypeStruct((B, Tk, D), v.dtype),
+        ],
+        interpret=interpret,
+    )(q, k, v, key_bias, g)
+
+
+@functools.lru_cache(maxsize=None)
+def _train_attention_fn(num_heads, causal, interpret):
+    @jax.custom_vjp
+    def f(q, k, v, key_bias):
+        return _fwd_call(q, k, v, key_bias, num_heads, causal, interpret)
+
+    def fwd(q, k, v, key_bias):
+        out = _fwd_call(q, k, v, key_bias, num_heads, causal, interpret)
+        return out, (q, k, v, key_bias)
+
+    def bwd(res, g):
+        q, k, v, key_bias = res
+        dq, dk, dv = _bwd_call(q, k, v, key_bias, g.astype(q.dtype),
+                               num_heads, causal, interpret)
+        return dq, dk, dv, jnp.zeros_like(key_bias)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def train_attention_flat(q_flat, k_flat, v_flat, key_mask, *, num_heads,
+                         causal=False, interpret=False):
+    """Fused attention on FLAT (pre-head-split) projections.
+
+    q_flat [B, Tq, D]; k_flat/v_flat [B, Tk, D] (D = H*hd, bf16);
+    key_mask [B, Tk] 1-keep/0-pad (or None). Returns [B, Tq, D] in the
+    input dtype. Differentiable (fused Pallas forward + backward).
+    """
+    B, Tk = k_flat.shape[0], k_flat.shape[1]
+    if key_mask is None:
+        key_bias = jnp.zeros((B, Tk), jnp.float32)
+    else:
+        key_bias = jnp.where(key_mask.astype(bool), 0.0, NEG_INF
+                             ).astype(jnp.float32)
+    fn = _train_attention_fn(int(num_heads), bool(causal), bool(interpret))
+    return fn(q_flat, k_flat, v_flat, key_bias.reshape(B, 1, Tk))
+
+
+def train_attention_supported(q_len, k_len, head_dim, num_heads,
+                              dropout_rate, train, causal=False):
+    """Gate: TPU backend, no active attention-prob dropout, head dim a
+    multiple of 8, and the whole [Tq, Tk] score tile VMEM-resident
+    (short-sequence regime; the long-sequence kernel in
+    ops/pallas_attention.py covers the rest).
+
+    ``KMBART_NO_FUSED_ATTN=1`` disables the kernel (A/B / escape hatch)."""
+    import os
+    if os.environ.get("KMBART_NO_FUSED_ATTN") == "1":
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    if train and dropout_rate > 0.0:
+        return False
+    if causal and q_len != k_len:
+        return False
+    if q_len > 256 or k_len > 256:
+        return False
+    return (q_len % 8 == 0 and k_len % 8 == 0 and head_dim % 8 == 0
+            and head_dim * num_heads % 128 == 0)

@@ -134,7 +134,11 @@ def op_breakdown(planes, plane_filter=("/device:TPU", "/device:CPU")):
         if not any(s in plane["name"] for s in plane_filter):
             continue
         for line_name, events in plane["lines"]:
-            if "XLA Ops" not in line_name:
+            # Exact match: the device plane also carries an "Async XLA Ops"
+            # line whose DMA events OVERLAP compute — summing it would
+            # triple-count the step (observed 563 ms of async-copy inside a
+            # 62 ms step on the axon runtime).
+            if line_name != "XLA Ops":
                 continue
             for meta_id, dur_ps in events:
                 name = plane["event_metadata"].get(meta_id, str(meta_id))
