@@ -264,5 +264,11 @@ def train_attention_supported(q_len, k_len, head_dim, num_heads,
         return False
     if q_len > 256 or k_len > 256:
         return False
+    if num_heads > 12:
+        # measured on v5e: BART-base (12 heads) wins 65.2 -> 63.4 ms/step,
+        # but BART-large (16 heads, batch 64) LOSES ~2% (108.1 -> 110.2 ms
+        # both reps, _exp/large_ab) — the per-head dot issue overhead grows
+        # with head count while the composite einsum stays one batched op
+        return False
     return (q_len % 8 == 0 and k_len % 8 == 0 and head_dim % 8 == 0
             and head_dim * num_heads % 128 == 0)

@@ -143,3 +143,5 @@ def test_fused_gate():
         # causal requires square
         assert not train_attention_supported(16, 24, 64, 12, 0.0, True,
                                              causal=True)
+        # >12 heads measured slower than the composite einsum (BART-large)
+        assert not train_attention_supported(16, 16, 64, 16, 0.0, True)
