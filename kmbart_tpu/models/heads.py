@@ -68,10 +68,11 @@ def _masked_nll_sum_fwd(logits, safe_labels, valid):
     se = jnp.sum(jnp.exp(lf - m[..., None]), axis=-1)
     lse = jnp.log(se) + m
     # (A round-4 experiment moved these two reductions into a single-pass
-    # Pallas kernel, ops/pallas_softmax_stats.py: the step REGRESSED
-    # 64.3 -> 74.2 ms because the kernel boundary forces the 515 MB
-    # logits out of their producer-chosen {0,2,1} batch-minor layout.
-    # XLA's fused reduces read the tensor in place; keep them.)
+    # Pallas kernel: the step REGRESSED 64.3 -> 74.2 ms because the kernel
+    # boundary forces the 515 MB logits out of their producer-chosen
+    # {0,2,1} batch-minor layout. XLA's fused reduces read the tensor in
+    # place; keep them. Kernel deleted per the measured-not-kept
+    # convention — see BASELINE.md round-4 and git history.)
     # gather the label logit from the RAW logits and upcast the [B, T]
     # result: gathering from ``lf`` forced XLA to materialise a full fp32
     # copy of the [B, T, V] logits just to feed the gather (~1.2 ms/step
