@@ -129,6 +129,33 @@ def test_fused_gradients_cross(np_rng):
                                    rtol=2e-4, atol=2e-5)
 
 
+def test_fused_under_remat(np_rng):
+    """jax.checkpoint over the custom-VJP kernel (the cfg.remat scan path)
+    must still produce the composite gradients."""
+    q, k, v = _flat_qkv(np_rng, B=2, Tq=16, H=2, hd=8)
+    mask = np.ones((2, 16), np.int32)
+    mask[1, -5:] = 0
+
+    @jax.checkpoint
+    def fused(q, k, v):
+        return train_attention_flat(q, k, v, jnp.asarray(mask), num_heads=2,
+                                    causal=True, interpret=True)
+
+    def loss_fused(q, k, v):
+        return jnp.sum(fused(q, k, v) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_composite(q, k, v, mask, 2, causal=True) ** 2)
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
 def test_fused_gate():
     # CPU backend -> never selected (the suite keeps testing the XLA path)
     assert not train_attention_supported(16, 16, 64, 12, 0.0, True)
