@@ -258,6 +258,14 @@ def train_attention_supported(q_len, k_len, head_dim, num_heads,
         return False
     if jax.default_backend() != "tpu":
         return False
+    if len(jax.devices()) > 1:
+        # under a multi-device mesh the pallas_call lowers to an opaque
+        # tpu_custom_call that XLA's SPMD partitioner cannot split — it
+        # would replicate via all-gathers (observed 72 all-gathers on a
+        # virtual 8-device mesh in the interpret-mode proxy). The
+        # composite XLA path partitions cleanly; keep it under meshes
+        # until the kernel is integrated via shard_map.
+        return False
     if train and dropout_rate > 0.0:
         return False
     if causal and q_len != k_len:
