@@ -207,20 +207,112 @@ def _bwd_call(q, k, v, key_bias, g, num_heads, causal, interpret):
     )(q, k, v, key_bias, g)
 
 
+# ---- SPMD partitioning ----------------------------------------------------
+# Under pjit the pallas_call lowers to an opaque tpu_custom_call that XLA's
+# SPMD partitioner cannot split (it would replicate via all-gathers).
+# custom_partitioning teaches it the kernel's parallel structure WITHOUT
+# threading the mesh through the model code:
+#   - batch dim (grid axis): embarrassingly parallel -> shard freely (DP)
+#   - feature dim D = H*hd: attention is per-head, so a Megatron-style
+#     "model"-axis sharding that cuts on head boundaries is exact
+#     head-parallelism — each shard runs the kernel with its LOCAL head
+#     count and zero collectives
+#   - sequence dims / the bias: must stay whole (softmax rows + absolute
+#     positions for the causal iota) -> need_replication factors.
+
+
+def _spec3(sharding, ndim=3):
+    try:
+        spec = tuple(sharding.spec)
+    except AttributeError:
+        return (None,) * ndim
+    return spec + (None,) * (ndim - len(spec))
+
+
+def _axis_count(mesh, axes):
+    if axes is None:
+        return 1
+    if isinstance(axes, (tuple, list)):
+        n = 1
+        for a in axes:
+            n *= mesh.shape[a]
+        return n
+    return mesh.shape[axes]
+
+
+def _attention_partition(num_heads, causal, interpret, is_bwd):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def partition(mesh, arg_shapes, result_shape):
+        q_sh = arg_shapes[0].sharding
+        spec = _spec3(q_sh)
+        b_ax, d_ax = spec[0], spec[2]
+        D = arg_shapes[0].shape[2]
+        hd = D // num_heads
+        d_div = _axis_count(mesh, d_ax)
+        if num_heads % d_div != 0 or (D // d_div) % hd != 0:
+            d_ax, d_div = None, 1        # off-head-boundary cut: replicate D
+        local_heads = num_heads // d_div
+        qkv = NamedSharding(mesh, P(b_ax, None, d_ax))
+        bias = NamedSharding(mesh, P(b_ax, None, None))
+        if is_bwd:
+            arg_shardings = (qkv, qkv, qkv, bias, qkv)
+            result_shardings = (qkv, qkv, qkv)
+
+            def lower_fn(q, k, v, key_bias, g):
+                return _bwd_call(q, k, v, key_bias, g, local_heads, causal,
+                                 interpret)
+        else:
+            arg_shardings = (qkv, qkv, qkv, bias)
+            result_shardings = qkv
+
+            def lower_fn(q, k, v, key_bias):
+                return _fwd_call(q, k, v, key_bias, local_heads, causal,
+                                 interpret)
+        return mesh, lower_fn, result_shardings, arg_shardings
+
+    def infer_sharding(mesh, arg_shapes, result_shape):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        spec = _spec3(arg_shapes[0].sharding)
+        out = NamedSharding(mesh, P(spec[0], None, spec[2]))
+        return (out, out, out) if is_bwd else out
+
+    return partition, infer_sharding
+
+
 @functools.lru_cache(maxsize=None)
 def _train_attention_fn(num_heads, causal, interpret):
+    from jax.experimental.custom_partitioning import custom_partitioning
+
+    fwd_cp = custom_partitioning(
+        lambda q, k, v, key_bias: _fwd_call(
+            q, k, v, key_bias, num_heads, causal, interpret))
+    p, i = _attention_partition(num_heads, causal, interpret, is_bwd=False)
+    fwd_cp.def_partition(
+        p, infer_sharding_from_operands=i,
+        sharding_rule="b tq d, b tk d, b tk d, b u tk -> b tq d",
+        need_replication_factors=("tq", "tk", "u"))
+
+    bwd_cp = custom_partitioning(
+        lambda q, k, v, key_bias, g: _bwd_call(
+            q, k, v, key_bias, g, num_heads, causal, interpret))
+    p, i = _attention_partition(num_heads, causal, interpret, is_bwd=True)
+    bwd_cp.def_partition(
+        p, infer_sharding_from_operands=i,
+        sharding_rule=("b tq d, b tk d, b tk d, b u tk, b tq d"
+                       " -> b tq d, b tk d, b tk d"),
+        need_replication_factors=("tq", "tk", "u"))
+
     @jax.custom_vjp
     def f(q, k, v, key_bias):
-        return _fwd_call(q, k, v, key_bias, num_heads, causal, interpret)
+        return fwd_cp(q, k, v, key_bias)
 
     def fwd(q, k, v, key_bias):
-        out = _fwd_call(q, k, v, key_bias, num_heads, causal, interpret)
-        return out, (q, k, v, key_bias)
+        return fwd_cp(q, k, v, key_bias), (q, k, v, key_bias)
 
     def bwd(res, g):
         q, k, v, key_bias = res
-        dq, dk, dv = _bwd_call(q, k, v, key_bias, g.astype(q.dtype),
-                               num_heads, causal, interpret)
+        dq, dk, dv = bwd_cp(q, k, v, key_bias, g.astype(q.dtype))
         return dq, dk, dv, jnp.zeros_like(key_bias)
 
     f.defvjp(fwd, bwd)
@@ -258,14 +350,10 @@ def train_attention_supported(q_len, k_len, head_dim, num_heads,
         return False
     if jax.default_backend() != "tpu":
         return False
-    if len(jax.devices()) > 1:
-        # under a multi-device mesh the pallas_call lowers to an opaque
-        # tpu_custom_call that XLA's SPMD partitioner cannot split — it
-        # would replicate via all-gathers (observed 72 all-gathers on a
-        # virtual 8-device mesh in the interpret-mode proxy). The
-        # composite XLA path partitions cleanly; keep it under meshes
-        # until the kernel is integrated via shard_map.
-        return False
+    # (multi-device meshes are supported: custom_partitioning above teaches
+    # the SPMD partitioner the kernel's batch/head parallel structure —
+    # zero all-gathers under DP and Megatron-TP shardings,
+    # tests/test_pallas_train_attention.py::test_fused_partitions_on_mesh)
     if train and dropout_rate > 0.0:
         return False
     if causal and q_len != k_len:

@@ -156,6 +156,47 @@ def test_fused_under_remat(np_rng):
                                    rtol=2e-4, atol=2e-5)
 
 
+def test_fused_partitions_on_mesh(np_rng):
+    """custom_partitioning: the kernel must split over DP and Megatron-TP
+    shardings with ZERO all-gathers, gradients identical to single-device.
+    TP cuts the feature dim on head boundaries -> per-shard local head
+    count (exact head parallelism)."""
+    import re
+
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    B, T, H, hd = 16, 16, 4, 8
+    q, k, v = _flat_qkv(np_rng, B=B, Tq=T, H=H, hd=hd)
+    mask = np.ones((B, T), np.int32)
+    mask[5, -4:] = 0
+
+    def f(q, k, v, m):
+        out = train_attention_flat(q, k, v, m, num_heads=H, causal=True,
+                                   interpret=True)
+        return jnp.sum(out ** 2)
+
+    g_single = jax.grad(f, argnums=(0, 1, 2))(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(mask))
+
+    def check(mesh, qkv_spec, expect_zero_ag):
+        data_q = NamedSharding(mesh, qkv_spec)
+        data_m = NamedSharding(mesh, P("data", None))
+        jf = jax.jit(jax.grad(f, argnums=(0, 1, 2)),
+                     in_shardings=(data_q, data_q, data_q, data_m))
+        g = jf(q, k, v, mask)
+        for a, b in zip(g, g_single):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-6)
+        if expect_zero_ag:
+            txt = jf.lower(q, k, v, mask).compile().as_text()
+            assert not re.search(r"all-gather", txt)
+
+    dp = Mesh(np.array(jax.devices()[:8]).reshape(8), ("data",))
+    check(dp, P("data", None, None), expect_zero_ag=True)
+    tp = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("data", "model"))
+    check(tp, P("data", None, "model"), expect_zero_ag=True)
+
+
 def test_fused_gate():
     # CPU backend -> never selected (the suite keeps testing the XLA path)
     assert not train_attention_supported(16, 16, 64, 12, 0.0, True)
