@@ -48,6 +48,11 @@ def add_hardware_args(parser):
                         help='kept for reference-CLI compatibility (bf16 is always on for TPU)')
     parser.add_argument('--model_parallel', default=1, type=int,
                         help='tensor-parallel degree (mesh = data x model)')
+    parser.add_argument('--sequence_parallel', action='store_true',
+                        help='with --model_parallel>1: shard the LN/dropout '
+                             'regions along the sequence dim (Megatron-SP; '
+                             'parallel/sp.py) — same math, less replicated '
+                             'activation work/memory per TP shard')
     parser.add_argument('--batch_size', type=int, default=64,
                         help='training batch size')
     parser.add_argument('--num_workers', type=int, default=0,

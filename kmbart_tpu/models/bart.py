@@ -39,6 +39,7 @@ from kmbart_tpu.ops.attention import (
     NEG_INF,
 )
 from kmbart_tpu.ops.layers import ACTIVATIONS, dense, dropout, layer_norm
+from kmbart_tpu.parallel import sp
 
 
 # --------------------------------------------------------------------------
@@ -188,8 +189,15 @@ def _res_ln(residual, h, ln):
     surrounding fusions already amortise the LN backward better than a
     standalone kernel call — so the composition stays (the experiment is
     recorded in BASELINE.md round-3; the kernel was deleted per the
-    repo's measured-not-kept convention)."""
-    return layer_norm(residual + h, ln["scale"], ln["bias"])
+    repo's measured-not-kept convention).
+
+    This is every residual+LN site in the network, which makes it the
+    single hook for Megatron-style sequence parallelism: under an active
+    ``parallel.sp.sequence_parallel`` context the output is constrained
+    to (data, model, -) layout, so GSPMD turns the TP all-reduces feeding
+    it into reduce-scatter + all-gather pairs and runs the LN/dropout
+    regions sequence-sharded (no-op otherwise)."""
+    return sp.constrain(layer_norm(residual + h, ln["scale"], ln["bias"]))
 
 
 def _residual_ffn(x, lp, cfg, rngs, train, dtype, act):
@@ -294,6 +302,7 @@ def encode(params, cfg: MultiModalBartConfig, input_ids, image_features=None,
         rng, sub = jax.random.split(rng)
         x = dropout(x, cfg.dropout, sub, train)
     x = x.astype(dtype)  # residual stream in compute dtype from here on
+    x = sp.constrain(x)  # sequence-parallel entry point (no-op by default)
 
     def body(carry, scanned):
         x, rng = carry
@@ -339,7 +348,7 @@ def _decoder_embed(params, cfg, decoder_input_ids, pos_start, train, rng):
     if rng is not None:
         rng, sub = jax.random.split(rng)
         x = dropout(x, cfg.dropout, sub, train)
-    return x.astype(dtype), rng
+    return sp.constrain(x.astype(dtype)), rng
 
 
 def decode(params, cfg: MultiModalBartConfig, decoder_input_ids, enc_hidden,

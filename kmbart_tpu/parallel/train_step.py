@@ -111,7 +111,11 @@ def build_train_step(loss_fn, optimizer, mesh=None, param_specs=None,
     )
 
 
-def build_eval_step(loss_fn, mesh=None):
+def build_eval_step(loss_fn, mesh=None, param_specs=None):
+    """``param_specs``: sharding pytree for the PARAMS argument (pass the
+    ``.params`` field of a train_state_shardings() result when the model
+    is tensor-parallel — replicated-by-default would reject TP-sharded
+    weights at the jit boundary)."""
     def step(params, batch):
         loss, metrics = loss_fn(params, batch, None)
         metrics = dict(metrics)
@@ -122,4 +126,7 @@ def build_eval_step(loss_fn, mesh=None):
         return jax.jit(step)
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
-    return jax.jit(step, in_shardings=(repl, data), out_shardings=repl)
+    return jax.jit(step,
+                   in_shardings=(param_specs if param_specs is not None
+                                 else repl, data),
+                   out_shardings=repl)

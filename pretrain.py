@@ -124,6 +124,11 @@ def main(args):
                                        step=np.int32(td['step'] or 0))
 
     mesh = make_mesh_from_args(args) if len(jax.devices()) > 1 else None
+    if getattr(args, 'sequence_parallel', False) and mesh is not None:
+        from kmbart_tpu.parallel import sp
+        if sp.activate(mesh):
+            logger.info('Sequence parallelism active (TP degree {})'.format(
+                dict(mesh.shape).get('model', 1)))
     n_data = local_batch_divisor(mesh)  # data shards fed by THIS process
     batch_sharding = None
     if mesh is not None:

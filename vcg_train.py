@@ -81,6 +81,11 @@ def main(args):
                                        step=np.int32(td['step'] or 0))
 
     mesh = make_mesh_from_args(args) if len(jax.devices()) > 1 else None
+    if getattr(args, 'sequence_parallel', False) and mesh is not None:
+        from kmbart_tpu.parallel import sp
+        if sp.activate(mesh):
+            logger.info('Sequence parallelism active (TP degree {})'.format(
+                dict(mesh.shape).get('model', 1)))
     n_data = local_batch_divisor(mesh)  # data shards fed by THIS process
     batch_sharding = None
     if mesh is not None:
@@ -143,7 +148,9 @@ def main(args):
         loss, _ = conditional_loss(p, cfg, b, train=False)
         return loss, {}
 
-    eval_step = build_eval_step(eval_loss_fn, mesh=mesh)
+    eval_step = build_eval_step(
+        eval_loss_fn, mesh=mesh,
+        param_specs=None if param_specs is None else param_specs.params)
 
     def callback(step, epoch, state, logger, **kwargs):
         if args.save_every_steps and (step + 1) % args.save_every_steps == 0:
