@@ -282,15 +282,12 @@ def _maybe_layerdrop(x_new, x_old, p, rng, train):
 # Encoder / decoder
 # --------------------------------------------------------------------------
 
-def encode(params, cfg: MultiModalBartConfig, input_ids, image_features=None,
-           attention_mask=None, *, train=False, rng=None):
-    """Multimodal encoder forward. Returns [B, T, D] hidden states in the
-    compute dtype (the residual stream stays bf16 under the default
-    mixed-precision policy; fp32 when cfg.dtype is float32)."""
+def _encoder_embed(params, cfg, input_ids, image_features, train, rng):
+    """Pre-layer encoder embedding (multimodal splice + positions +
+    optional embed-LN + dropout). Shared by ``encode`` and the pipeline-
+    parallel path (parallel/pp.py)."""
     dtype = jnp.dtype(cfg.dtype)
-    act = ACTIVATIONS[cfg.activation_function]
-    B, T = input_ids.shape
-
+    T = input_ids.shape[1]
     embed_scale = math.sqrt(cfg.d_model) if cfg.scale_embedding else 1.0
     x = embed_multimodal(params, cfg, input_ids, image_features, dtype) * embed_scale
     offset = 0 if cfg.static_position_embeddings else cfg.extra_pos_embeddings
@@ -301,7 +298,19 @@ def encode(params, cfg: MultiModalBartConfig, input_ids, image_features=None,
     if rng is not None:
         rng, sub = jax.random.split(rng)
         x = dropout(x, cfg.dropout, sub, train)
-    x = x.astype(dtype)  # residual stream in compute dtype from here on
+    # residual stream in compute dtype from here on
+    return x.astype(dtype), rng
+
+
+def encode(params, cfg: MultiModalBartConfig, input_ids, image_features=None,
+           attention_mask=None, *, train=False, rng=None):
+    """Multimodal encoder forward. Returns [B, T, D] hidden states in the
+    compute dtype (the residual stream stays bf16 under the default
+    mixed-precision policy; fp32 when cfg.dtype is float32)."""
+    dtype = jnp.dtype(cfg.dtype)
+    act = ACTIVATIONS[cfg.activation_function]
+
+    x, rng = _encoder_embed(params, cfg, input_ids, image_features, train, rng)
     x = sp.constrain(x)  # sequence-parallel entry point (no-op by default)
 
     def body(carry, scanned):

@@ -1,0 +1,222 @@
+"""Pipeline parallelism: GPipe microbatch schedule as scan + ppermute.
+
+The reference has no pipeline parallelism (its distributed runtime is
+single-host DDP, src/utils.py:9-17); this is the TPU-native last axis of
+the parallelism inventory (data x model/sequence x stage). The design is
+the canonical JAX/TPU pipeline (scaling-book recipe), not a port of any
+torch schedule:
+
+- Per-layer weights are ALREADY stacked on a leading [L, ...] axis
+  (models/bart.py design note), so a stage's weights are just that axis
+  sharded over a ``stage`` mesh axis — no parameter surgery.
+- The schedule is one ``lax.scan`` over M + S - 1 ticks inside a
+  ``shard_map``. At tick t, stage s runs microbatch m = t - s through
+  its local layers and hands the activation to stage s+1 with a single
+  ``ppermute`` ring shift. The bubble (S-1 idle ticks per stage) is the
+  GPipe cost; XLA overlaps the ppermute DMA with the next tick's
+  compute.
+- The BACKWARD pipeline is free: scan + ppermute are differentiable, so
+  ``jax.grad`` of the pipelined loss replays the ring in reverse — the
+  transpose of ppermute is the opposite rotation — giving the standard
+  GPipe fwd/bwd schedule without writing a backward scheduler.
+- Encoder/decoder stacks are pipelined one after the other (BART's
+  decoder needs the FULL encoder output for cross-attention, so there
+  is a natural barrier between the stacks). The embedding/LM-head ends
+  stay replicated: at BART scale they are ~1 matmul each and replicating
+  them avoids the embedding-stage load imbalance classic GPipe suffers.
+
+Forward activations are BITWISE identical to the sequential path (each
+layer still runs whole on one device; only transport changes), so the
+parity tests assert exact equality at fp32.
+
+Capacity note: this path exists for models whose LAYERS outgrow one
+chip's HBM. At BART-base/large scale a single v5e chip holds the whole
+model — use DP/TP/SP first; the tests pin correctness on a virtual mesh
+so the path is ready when a config actually needs it.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from kmbart_tpu.config import MultiModalBartConfig
+from kmbart_tpu.models import bart
+from kmbart_tpu.models.bart import (ACTIVATIONS, _decoder_embed,
+                                    _decoder_layer, _encoder_embed,
+                                    _encoder_layer)
+from kmbart_tpu.ops.layers import layer_norm
+
+
+def make_stage_mesh(n_stages, devices=None):
+    """1-D ``stage`` mesh (ring order = device order, so ppermute hops
+    ride neighbouring ICI links on a real slice)."""
+    if devices is None:
+        devices = jax.devices()
+    if len(devices) < n_stages:
+        raise ValueError(f"{n_stages} stages > {len(devices)} devices")
+    return Mesh(np.asarray(devices[:n_stages]), ("stage",))
+
+
+def stage_param_specs(params):
+    """PartitionSpec pytree: stacked [L, ...] layer tensors shard their
+    layer axis over ``stage``; everything else is replicated. L must be
+    divisible by the stage count (checked at shard time by GSPMD)."""
+    def spec_for(path, leaf):
+        if any(getattr(p, "key", None) == "layers" for p in path):
+            return P("stage")
+        return P()
+    paths, treedef = jax.tree_util.tree_flatten_with_path(params)
+    return treedef.unflatten([spec_for(path, leaf) for path, leaf in paths])
+
+
+def _pipeline_stack(mesh, stacked_layers, apply_layer, x, n_micro,
+                    layers_per_stage, extras):
+    """Run ``x`` [B, T, D] through the stacked layers as a GPipe pipeline.
+
+    ``apply_layer(local_layers_j, x_mb, micro_idx, global_layer_idx,
+    extras)`` applies ONE layer to one microbatch; ``extras`` is a dict of
+    replicated side inputs (masks, encoder output, rng key) passed through
+    shard_map explicitly — closing over enclosing-jit tracers inside the
+    shard_map body is not part of its contract. Returns [B, T, D].
+    """
+    S = mesh.shape["stage"]
+    B = x.shape[0]
+    if B % n_micro:
+        raise ValueError(f"batch {B} not divisible by n_micro={n_micro}")
+    mb = B // n_micro
+    M = n_micro
+    extras = {k: v for k, v in extras.items() if v is not None}
+
+    def staged(local_layers, x_full, ex):
+        s = jax.lax.axis_index("stage")
+        xm = x_full.reshape((M, mb) + x_full.shape[1:])
+        state0 = jnp.zeros((mb,) + x_full.shape[1:], x_full.dtype)
+        out0 = jnp.zeros_like(xm)
+
+        def tick(carry, t):
+            state, out = carry
+            # stage 0 ingests microbatch t while t < M; later stages take
+            # the ring-shifted activation from the previous tick
+            inp = xm[jnp.clip(t, 0, M - 1)]
+            h = jnp.where(s == 0, inp, state)
+            m = jnp.clip(t - s, 0, M - 1)  # microbatch this stage holds
+            for j in range(layers_per_stage):
+                lp = jax.tree.map(lambda a: a[j], local_layers)
+                h = apply_layer(lp, h, m, s * layers_per_stage + j, ex)
+            # the last stage has finished microbatch t-(S-1) at this tick
+            done = t - (S - 1)
+            write = (s == S - 1) & (done >= 0)
+            upd = jax.lax.dynamic_update_slice(
+                out, h[None].astype(out.dtype),
+                (jnp.clip(done, 0, M - 1),) + (0,) * (out.ndim - 1))
+            out = jnp.where(write, upd, out)
+            state = jax.lax.ppermute(
+                h, "stage", [(i, (i + 1) % S) for i in range(S)])
+            return (state, out), None
+
+        (_, out), _ = jax.lax.scan(tick, (state0, out0),
+                                   jnp.arange(M + S - 1))
+        # broadcast the collected outputs (non-last stages hold zeros)
+        out = jax.lax.psum(jnp.where(s == S - 1, out, 0), "stage")
+        return out.reshape(x_full.shape)
+
+    layer_specs = jax.tree.map(lambda _: P("stage"), stacked_layers)
+    extra_specs = jax.tree.map(lambda _: P(), extras)
+    fn = jax.shard_map(staged, mesh=mesh,
+                       in_specs=(layer_specs, P(), extra_specs),
+                       out_specs=P(), check_vma=False)
+    return fn(stacked_layers, x, extras)
+
+
+def pipelined_forward(params, cfg: MultiModalBartConfig, batch, mesh, *,
+                      n_micro, train=False, rng=None):
+    """Trunk forward (bart.forward semantics) with both layer stacks
+    pipelined over ``mesh``'s ``stage`` axis. Returns (dec, enc) hidden.
+
+    Dropout keys are folded per (layer, microbatch), so masks differ from
+    the sequential path when dropout > 0 (they are still independent and
+    correctly scaled); with dropout off the forward is bit-identical.
+    LayerDrop is unsupported here (a skipped layer would unbalance the
+    ring) — train with layerdrop 0 on the pipeline path."""
+    if train and (cfg.encoder_layerdrop or cfg.decoder_layerdrop):
+        raise ValueError("pipeline parallelism does not support LayerDrop")
+    S = mesh.shape["stage"]
+    if cfg.encoder_layers % S or cfg.decoder_layers % S:
+        raise ValueError(
+            f"encoder/decoder layer counts ({cfg.encoder_layers}/"
+            f"{cfg.decoder_layers}) must divide the stage count {S}")
+    dtype = jnp.dtype(cfg.dtype)
+    act = ACTIVATIONS[cfg.activation_function]
+    attention_mask = batch.get("attention_mask")
+    dec_mask = batch.get("decoder_attention_mask")
+    B = batch["input_ids"].shape[0]
+    mb = B // n_micro
+
+    if rng is not None:
+        rng_enc, rng_dec = jax.random.split(rng)
+    else:
+        rng_enc = rng_dec = None
+
+    def slice_mb(arr, m):
+        if arr is None:
+            return None
+        return jax.lax.dynamic_slice_in_dim(arr, m * mb, mb, axis=0)
+
+    def layer_rng(key, li, m):
+        if key is None:
+            return None
+        return jax.random.fold_in(jax.random.fold_in(key, li), m)
+
+    # ---- encoder pipeline ----
+    x, rng_enc = _encoder_embed(params, cfg, batch["input_ids"],
+                                batch.get("image_features"), train, rng_enc)
+
+    def enc_apply(lp, h, m, li, ex):
+        return _encoder_layer(h, lp, slice_mb(ex.get("mask"), m), cfg,
+                              layer_rng(ex.get("rng"), li, m), train,
+                              dtype, act)
+
+    enc = _pipeline_stack(mesh, params["encoder"]["layers"], enc_apply, x,
+                          n_micro, cfg.encoder_layers // S,
+                          {"mask": attention_mask, "rng": rng_enc})
+    if cfg.normalize_before:
+        ln = params["encoder"]["layer_norm"]
+        enc = layer_norm(enc, ln["scale"], ln["bias"])
+
+    # ---- decoder pipeline (cross-attends the full encoder output) ----
+    y, rng_dec = _decoder_embed(params, cfg, batch["decoder_input_ids"], 0,
+                                train, rng_dec)
+
+    def dec_apply(lp, h, m, li, ex):
+        out, _ = _decoder_layer(
+            h, lp, None, None, slice_mb(ex["enc"], m), cfg,
+            layer_rng(ex.get("rng"), li, m), train, dtype, act,
+            self_key_mask=slice_mb(ex.get("dec_mask"), m),
+            cross_key_mask=slice_mb(ex.get("mask"), m), causal=True)
+        return out
+
+    dec = _pipeline_stack(mesh, params["decoder"]["layers"], dec_apply, y,
+                          n_micro, cfg.decoder_layers // S,
+                          {"enc": enc, "mask": attention_mask,
+                           "dec_mask": dec_mask, "rng": rng_dec})
+    if cfg.add_final_layer_norm:
+        ln = params["decoder"]["layer_norm"]
+        dec = layer_norm(dec, ln["scale"], ln["bias"])
+    return dec, enc
+
+
+def pipelined_conditional_loss(params, cfg, batch, mesh, *, n_micro,
+                               train=False, rng=None):
+    """conditional_loss (models/conditional.py) with the trunk pipelined.
+    Loss/logits are computed replicated on the gathered decoder output —
+    bitwise-equal to the sequential loss at fp32 when dropout is off."""
+    from kmbart_tpu.models.heads import cross_entropy_ignore_index
+
+    hidden, _ = pipelined_forward(params["model"], cfg, batch, mesh,
+                                  n_micro=n_micro, train=train, rng=rng)
+    logits = bart.lm_logits(params["model"], cfg, hidden,
+                            params["final_logits_bias"],
+                            logits_dtype=jnp.dtype(cfg.dtype))
+    loss, _ = cross_entropy_ignore_index(logits, batch["labels"])
+    return loss, {"logits": logits}
