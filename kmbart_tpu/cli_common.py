@@ -53,6 +53,16 @@ def add_hardware_args(parser):
                              'regions along the sequence dim (Megatron-SP; '
                              'parallel/sp.py) — same math, less replicated '
                              'activation work/memory per TP shard')
+    parser.add_argument('--pipeline_stages', default=1, type=int,
+                        help='pipeline-parallel stage count (GPipe '
+                             'scan+ppermute schedule, parallel/pp.py; mesh = '
+                             'data x stage). For models whose layers outgrow '
+                             'one chip; mutually exclusive with '
+                             '--model_parallel>1. Layer counts must divide it.')
+    parser.add_argument('--pipeline_microbatches', default=0, type=int,
+                        help='microbatches per pipeline (0 = stage count). '
+                             'The per-data-shard batch must be divisible by '
+                             'it; more microbatches shrink the GPipe bubble.')
     parser.add_argument('--batch_size', type=int, default=64,
                         help='training batch size')
     parser.add_argument('--num_workers', type=int, default=0,
@@ -235,6 +245,19 @@ def make_mesh_from_args(args):
     from kmbart_tpu.parallel.mesh import make_mesh
     n = len(jax.devices())
     mp = max(1, args.model_parallel)
+    pp_stages = max(1, getattr(args, 'pipeline_stages', 1))
+    if pp_stages > 1:
+        if mp > 1 or getattr(args, 'sequence_parallel', False):
+            raise ValueError('--pipeline_stages cannot be combined with '
+                             '--model_parallel>1 / --sequence_parallel')
+        from kmbart_tpu.parallel.pp import make_pp_mesh
+        return make_pp_mesh(pp_stages)
     if n % mp:
         raise ValueError(f'{n} devices not divisible by model_parallel={mp}')
     return make_mesh(model_parallel=mp)
+
+
+def pipeline_microbatches(args):
+    pp_stages = max(1, getattr(args, 'pipeline_stages', 1))
+    m = getattr(args, 'pipeline_microbatches', 0)
+    return m if m > 0 else pp_stages

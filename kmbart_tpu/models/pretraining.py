@@ -50,24 +50,32 @@ def init_pretraining_params(rng, cfg: MultiModalBartConfig) -> dict:
 
 
 def pretraining_loss(params, cfg: MultiModalBartConfig, batch, *, train=False,
-                     rng=None):
+                     rng=None, trunk_fn=None):
     """Compute the multi-task loss. Returns (total_loss, metrics dict).
 
     Loss keys mirror the reference's dict (src/model/model.py:244-307):
     lm_loss, mrm_loss, attribute_loss, relation_loss, loss.
+
+    ``trunk_fn(model_params, cfg, batch, train, rng) -> decoder hidden``
+    swaps the encoder/decoder trunk for an alternative execution of the
+    SAME math — the pipeline-parallel path (parallel/pp.py) passes its
+    staged forward here; the heads always run replicated on the result.
     """
     if rng is not None:
         rng, r_trunk, r_mrm, r_attr, r_rel = jax.random.split(rng, 5)
     else:
         r_trunk = r_mrm = r_attr = r_rel = None
 
-    hidden, _ = bart.forward(
-        params["model"], cfg,
-        batch["input_ids"], batch.get("image_features"),
-        batch.get("attention_mask"),
-        decoder_input_ids=batch["decoder_input_ids"],
-        decoder_attention_mask=batch.get("decoder_attention_mask"),
-        train=train, rng=r_trunk)
+    if trunk_fn is not None:
+        hidden = trunk_fn(params["model"], cfg, batch, train, r_trunk)
+    else:
+        hidden, _ = bart.forward(
+            params["model"], cfg,
+            batch["input_ids"], batch.get("image_features"),
+            batch.get("attention_mask"),
+            decoder_input_ids=batch["decoder_input_ids"],
+            decoder_attention_mask=batch.get("decoder_attention_mask"),
+            train=train, rng=r_trunk)
 
     dtype = jnp.dtype(cfg.dtype)
     losses = {}

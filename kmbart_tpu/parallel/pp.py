@@ -58,6 +58,19 @@ def make_stage_mesh(n_stages, devices=None):
     return Mesh(np.asarray(devices[:n_stages]), ("stage",))
 
 
+def make_pp_mesh(n_stages, devices=None):
+    """2-D ``data x stage`` mesh over ALL devices: each data replica runs
+    its own n_stages-deep pipeline (stage innermost, so ring hops ride
+    neighbouring ICI links)."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if n % n_stages:
+        raise ValueError(f"{n} devices not divisible by {n_stages} stages")
+    grid = np.asarray(devices).reshape(n // n_stages, n_stages)
+    return Mesh(grid, ("data", "stage"))
+
+
 def stage_param_specs(params):
     """PartitionSpec pytree: stacked [L, ...] layer tensors shard their
     layer axis over ``stage``; everything else is replicated. L must be
@@ -68,6 +81,29 @@ def stage_param_specs(params):
         return P()
     paths, treedef = jax.tree_util.tree_flatten_with_path(params)
     return treedef.unflatten([spec_for(path, leaf) for path, leaf in paths])
+
+
+def stage_train_state_shardings(mesh, params):
+    """NamedSharding pytree for a TrainState with stage-sharded stacked
+    layers (optimizer moments inherit the parameter layout, mirroring
+    tp.train_state_shardings)."""
+    from jax.sharding import NamedSharding
+
+    from kmbart_tpu.training.adamw import AdamWState
+    from kmbart_tpu.training.state import TrainState
+
+    specs = stage_param_specs(params)
+    to_sh = lambda tree: jax.tree.map(lambda s: NamedSharding(mesh, s), tree,
+                                      is_leaf=lambda x: isinstance(x, P))
+    p_sh = to_sh(specs)
+    repl = NamedSharding(mesh, P())
+    ls_sh = jax.tree.map(lambda _: repl, specs,
+                         is_leaf=lambda x: isinstance(x, P))
+    return TrainState(
+        params=p_sh,
+        opt_state=AdamWState(step=repl, mu=p_sh, nu=p_sh, leaf_steps=ls_sh),
+        step=repl,
+    )
 
 
 def _pipeline_stack(mesh, stacked_layers, apply_layer, x, n_micro,
@@ -81,15 +117,23 @@ def _pipeline_stack(mesh, stacked_layers, apply_layer, x, n_micro,
     shard_map body is not part of its contract. Returns [B, T, D].
     """
     S = mesh.shape["stage"]
+    n_data = dict(mesh.shape).get("data", 1)
     B = x.shape[0]
-    if B % n_micro:
-        raise ValueError(f"batch {B} not divisible by n_micro={n_micro}")
-    mb = B // n_micro
+    if B % (n_micro * n_data):
+        raise ValueError(f"batch {B} not divisible by n_micro={n_micro}"
+                         f" x data shards={n_data}")
     M = n_micro
     extras = {k: v for k, v in extras.items() if v is not None}
+    # batch-like extras (leading dim == global B) shard with the data axis;
+    # everything else (rng keys) is replicated
+    data_ax = "data" if n_data > 1 else None
+    ex_spec = {k: (P(data_ax) if getattr(v, "ndim", 0) >= 1
+                   and v.shape[0] == B else P())
+               for k, v in extras.items()}
 
     def staged(local_layers, x_full, ex):
         s = jax.lax.axis_index("stage")
+        mb = x_full.shape[0] // M  # local (per-data-shard) microbatch
         xm = x_full.reshape((M, mb) + x_full.shape[1:])
         state0 = jnp.zeros((mb,) + x_full.shape[1:], x_full.dtype)
         out0 = jnp.zeros_like(xm)
@@ -122,10 +166,9 @@ def _pipeline_stack(mesh, stacked_layers, apply_layer, x, n_micro,
         return out.reshape(x_full.shape)
 
     layer_specs = jax.tree.map(lambda _: P("stage"), stacked_layers)
-    extra_specs = jax.tree.map(lambda _: P(), extras)
     fn = jax.shard_map(staged, mesh=mesh,
-                       in_specs=(layer_specs, P(), extra_specs),
-                       out_specs=P(), check_vma=False)
+                       in_specs=(layer_specs, P(data_ax), ex_spec),
+                       out_specs=P(data_ax), check_vma=False)
     return fn(stacked_layers, x, extras)
 
 
@@ -151,7 +194,9 @@ def pipelined_forward(params, cfg: MultiModalBartConfig, batch, mesh, *,
     attention_mask = batch.get("attention_mask")
     dec_mask = batch.get("decoder_attention_mask")
     B = batch["input_ids"].shape[0]
-    mb = B // n_micro
+    # slice_mb runs inside the shard_map body, where batch-like extras are
+    # LOCAL data shards — the slice width is the per-shard microbatch
+    mb = B // dict(mesh.shape).get("data", 1) // n_micro
 
     if rng is not None:
         rng_enc, rng_dec = jax.random.split(rng)
@@ -220,3 +265,19 @@ def pipelined_conditional_loss(params, cfg, batch, mesh, *, n_micro,
                             logits_dtype=jnp.dtype(cfg.dtype))
     loss, _ = cross_entropy_ignore_index(logits, batch["labels"])
     return loss, {"logits": logits}
+
+
+def pipelined_pretraining_loss(params, cfg, batch, mesh, *, n_micro,
+                               train=False, rng=None):
+    """pretraining_loss (models/pretraining.py) with the trunk pipelined;
+    the four heads run replicated on the gathered decoder output (they are
+    ~1 matmul each — staging them would unbalance the ring for nothing)."""
+    from kmbart_tpu.models.pretraining import pretraining_loss
+
+    def trunk(model_params, _cfg, b, tr, r):
+        dec, _ = pipelined_forward(model_params, _cfg, b, mesh,
+                                   n_micro=n_micro, train=tr, rng=r)
+        return dec
+
+    return pretraining_loss(params, cfg, batch, train=train, rng=rng,
+                            trunk_fn=trunk)

@@ -129,7 +129,16 @@ def main(args):
         if sp.activate(mesh):
             logger.info('Sequence parallelism active (TP degree {})'.format(
                 dict(mesh.shape).get('model', 1)))
+    pp_active = (mesh is not None
+                 and dict(mesh.shape).get('stage', 1) > 1)
+    if pp_active:
+        from kmbart_tpu.cli_common import pipeline_microbatches
+        n_micro = pipeline_microbatches(args)
     n_data = local_batch_divisor(mesh)  # data shards fed by THIS process
+    if pp_active:
+        # every data shard must further split into n_micro pipeline
+        # microbatches, so partial batches trim to this multiple
+        n_data *= n_micro
     batch_sharding = None
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
@@ -159,16 +168,29 @@ def main(args):
                                shuffle=True, seed=args.seed),
         num_workers=args.num_workers, drop_last=True, batch_divisor=n_data)
 
-    def loss_fn(p, b, rng):
-        loss, aux = pretraining_loss(p, cfg, b, train=True, rng=rng)
-        return loss, {k: v for k, v in aux['losses'].items() if k != 'loss'}
+    if pp_active:
+        from kmbart_tpu.parallel import pp
+        logger.info('Pipeline parallelism active ({} stages, {} '
+                    'microbatches)'.format(dict(mesh.shape)['stage'], n_micro))
 
-    param_specs = None
-    if mesh is not None and mesh.shape.get('model', 1) > 1:
-        from kmbart_tpu.parallel.tp import (
-            shard_train_state, train_state_shardings)
-        param_specs = train_state_shardings(mesh, state.params)
-        state = shard_train_state(mesh, state)
+        def loss_fn(p, b, rng):
+            loss, aux = pp.pipelined_pretraining_loss(
+                p, cfg, b, mesh, n_micro=n_micro, train=True, rng=rng)
+            return loss, {k: v for k, v in aux['losses'].items() if k != 'loss'}
+
+        param_specs = pp.stage_train_state_shardings(mesh, state.params)
+        state = jax.tree.map(jax.device_put, state, param_specs)
+    else:
+        def loss_fn(p, b, rng):
+            loss, aux = pretraining_loss(p, cfg, b, train=True, rng=rng)
+            return loss, {k: v for k, v in aux['losses'].items() if k != 'loss'}
+
+        param_specs = None
+        if mesh is not None and mesh.shape.get('model', 1) > 1:
+            from kmbart_tpu.parallel.tp import (
+                shard_train_state, train_state_shardings)
+            param_specs = train_state_shardings(mesh, state.params)
+            state = shard_train_state(mesh, state)
     train_step = build_train_step(loss_fn, optimizer, mesh=mesh,
                                   param_specs=param_specs,
                                   grad_accum_steps=args.grad_accum_steps)
@@ -182,9 +204,9 @@ def main(args):
         if is_main and step % 100 == 0:
             from kmbart_tpu.models.pretraining import MultiModalBartForPreTraining
             params = state.params
-            if jax.process_count() > 1:
+            if jax.process_count() > 1 or pp_active:
                 # forward_logits is a process-local jit; pull a host copy of
-                # the (fully replicated) global params for the sample decode
+                # the (replicated or stage-sharded) params for the decode
                 params = jax.tree.map(np.asarray, params)
             data = collate_fn([train_dataset[0]])
             model = MultiModalBartForPreTraining(cfg, params=params)

@@ -88,6 +88,29 @@ def test_pretrain_cli(fixture_dir, tmp_path):
         str(tmp_path / "pck"), run_dir, "model0", "params.npz"))
 
 
+@pytest.mark.slow
+def test_vcg_train_pipeline_parallel_cli(fixture_dir, tmp_path):
+    """--pipeline_stages 2 on the 8-CPU virtual mesh (DP4 x PP2): the full
+    fine-tune CLI trains with stage-sharded layers and saves a portable
+    checkpoint identical in format to the sequential run's."""
+    import vcg_train
+
+    ckpt_dir = str(tmp_path / "ckpt_pp")
+    args = _args(vcg_train, [
+        "--data_dir", os.path.join(fixture_dir, "vcg"),
+        "--checkpoint_dir", ckpt_dir,
+        "--model_config", os.path.join(fixture_dir, "config.json"),
+        "--tokenizer_dir", os.path.join(fixture_dir, "tokenizer"),
+        "--epochs", "1", "--batch_size", "8", "--lr", "1e-3",
+        "--validate_loss", "--max_length", "10", "--cpu",
+        "--pipeline_stages", "2", "--pipeline_microbatches", "2"])
+    vcg_train.main(args)
+    run_dir = os.listdir(ckpt_dir)[0]
+    model_dir = os.path.join(ckpt_dir, run_dir, "model0")
+    assert os.path.exists(os.path.join(model_dir, "params.npz"))
+    assert os.path.exists(os.path.join(model_dir, "training_data.npz"))
+
+
 def test_pretrain_arg_validation(fixture_dir):
     import pretrain
     with pytest.raises(ValueError):

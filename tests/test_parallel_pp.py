@@ -118,6 +118,72 @@ def test_pipeline_validates_shapes(tiny_cfg, np_rng):
                                       rng=jax.random.PRNGKey(0))
 
 
+def test_dp_x_pp_mesh_matches_sequential(tiny_cfg, np_rng):
+    """DP4 x PP2: batch shards the data axis, layers shard the stage axis.
+    The cross-data-shard loss mean changes the reduction ORDER only, so
+    parity is 1-ulp allclose (loss) / tight allclose (grads) rather than
+    the bitwise equality of the stage-only mesh."""
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from kmbart_tpu.models.conditional import conditional_loss
+
+    cfg = tiny_cfg.replace(dtype="float32")
+    params = init_conditional_params(jax.random.PRNGKey(0), cfg)
+    batch = _batch(cfg, np_rng)
+    mesh = pp.make_pp_mesh(2)
+    assert dict(mesh.shape) == {"data": 4, "stage": 2}
+    sharded = jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params, pp.stage_param_specs(params))
+    dev_batch = {k: jax.device_put(v, NamedSharding(mesh, P("data")))
+                 for k, v in batch.items()}
+
+    ref = jax.jit(lambda p, b: conditional_loss(p, cfg, b)[0])(params, batch)
+    got = jax.jit(lambda p, b: pp.pipelined_conditional_loss(
+        p, cfg, b, mesh, n_micro=2)[0])(sharded, dev_batch)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6)
+
+    g_ref = jax.jit(jax.grad(
+        lambda p, b: conditional_loss(p, cfg, b)[0]))(params, batch)
+    g_pp = jax.jit(jax.grad(lambda p, b: pp.pipelined_conditional_loss(
+        p, cfg, b, mesh, n_micro=2)[0]))(sharded, dev_batch)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_pp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_pipelined_pretraining_loss_exact(tiny_cfg, np_rng):
+    """The 4-head pretraining loss with the trunk pipelined (heads run
+    replicated on the gathered decoder output): bitwise-equal at fp32 on a
+    stage-only mesh."""
+    from kmbart_tpu.models.pretraining import (
+        init_pretraining_params, pretraining_loss)
+
+    cfg = tiny_cfg.replace(dtype="float32")
+    params = init_pretraining_params(jax.random.PRNGKey(1), cfg)
+    rng = np_rng
+    batch = _batch(cfg, rng)
+    B, T = batch["decoder_input_ids"].shape
+    batch.update(
+        mrm_soft_labels=rng.dirichlet(np.ones(cfg.num_labels),
+                                      (B, T)).astype(np.float32),
+        mrm_mask=rng.random((B, T)) < 0.3,
+        attribute_labels=rng.integers(0, cfg.num_attributes,
+                                      (B, T)).astype(np.int32),
+        attribute_mask=(rng.random((B, T)) < 0.3).astype(np.float32),
+        relation_pairs=rng.integers(0, T, (B, 4, 2)).astype(np.int32),
+        relation_labels=rng.integers(0, cfg.num_relations,
+                                     (B, 4)).astype(np.int32),
+        relation_mask=np.ones((B, 4), bool))
+    mesh = pp.make_stage_mesh(2)
+
+    ref = jax.jit(lambda p, b: pretraining_loss(p, cfg, b)[0])(params, batch)
+    got = jax.jit(lambda p, b: pp.pipelined_pretraining_loss(
+        p, cfg, b, mesh, n_micro=4)[0])(params, batch)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 def test_pipelined_dropout_trains(tiny_cfg, np_rng):
     """train=True with dropout on: per-(layer, microbatch) keys give a
     valid (finite, descending-loss) training signal even though the masks

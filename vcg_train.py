@@ -86,7 +86,16 @@ def main(args):
         if sp.activate(mesh):
             logger.info('Sequence parallelism active (TP degree {})'.format(
                 dict(mesh.shape).get('model', 1)))
+    pp_active = (mesh is not None
+                 and dict(mesh.shape).get('stage', 1) > 1)
+    if pp_active:
+        from kmbart_tpu.cli_common import pipeline_microbatches
+        n_micro = pipeline_microbatches(args)
     n_data = local_batch_divisor(mesh)  # data shards fed by THIS process
+    if pp_active:
+        # every data shard must further split into n_micro pipeline
+        # microbatches, so partial batches trim to this multiple
+        n_data *= n_micro
     batch_sharding = None
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
@@ -130,23 +139,41 @@ def main(args):
 
     val_ref = json.load(open(os.path.join(args.data_dir, 'val_ref.json')))
 
-    def loss_fn(p, b, rng):
-        loss, _ = conditional_loss(p, cfg, b, train=True, rng=rng)
-        return loss, {}
+    if pp_active:
+        from kmbart_tpu.parallel import pp
+        logger.info('Pipeline parallelism active ({} stages, {} '
+                    'microbatches)'.format(dict(mesh.shape)['stage'], n_micro))
 
-    param_specs = None
-    if mesh is not None and mesh.shape.get('model', 1) > 1:
-        from kmbart_tpu.parallel.tp import (
-            shard_train_state, train_state_shardings)
-        param_specs = train_state_shardings(mesh, state.params)
-        state = shard_train_state(mesh, state)
+        def loss_fn(p, b, rng):
+            loss, _ = pp.pipelined_conditional_loss(
+                p, cfg, b, mesh, n_micro=n_micro, train=True, rng=rng)
+            return loss, {}
+
+        def eval_loss_fn(p, b, rng):
+            loss, _ = pp.pipelined_conditional_loss(
+                p, cfg, b, mesh, n_micro=n_micro, train=False)
+            return loss, {}
+
+        param_specs = pp.stage_train_state_shardings(mesh, state.params)
+        state = jax.tree.map(jax.device_put, state, param_specs)
+    else:
+        def loss_fn(p, b, rng):
+            loss, _ = conditional_loss(p, cfg, b, train=True, rng=rng)
+            return loss, {}
+
+        def eval_loss_fn(p, b, rng):
+            loss, _ = conditional_loss(p, cfg, b, train=False)
+            return loss, {}
+
+        param_specs = None
+        if mesh is not None and mesh.shape.get('model', 1) > 1:
+            from kmbart_tpu.parallel.tp import (
+                shard_train_state, train_state_shardings)
+            param_specs = train_state_shardings(mesh, state.params)
+            state = shard_train_state(mesh, state)
     train_step = build_train_step(loss_fn, optimizer, mesh=mesh,
                                   param_specs=param_specs,
                                   grad_accum_steps=args.grad_accum_steps)
-
-    def eval_loss_fn(p, b, rng):
-        loss, _ = conditional_loss(p, cfg, b, train=False)
-        return loss, {}
 
     eval_step = build_eval_step(
         eval_loss_fn, mesh=mesh,
@@ -160,9 +187,9 @@ def main(args):
             logger.info('Saved mid-epoch checkpoint at "{}"'.format(path))
         if is_main and (step + 1) % 100 == 0:
             params = state.params
-            if jax.process_count() > 1:
+            if jax.process_count() > 1 or pp_active:
                 # generate() is a process-local jit; pull a host copy of the
-                # (fully replicated) global params for the sample decode
+                # (replicated or stage-sharded) global params for the decode
                 params = jax.tree.map(np.asarray, params)
             inputs = collate_fn([train_dataset[0]])
             out = generate(params, cfg,
@@ -198,7 +225,7 @@ def main(args):
         if args.validate_score and is_main:
             # decode is process-local; run it on process 0 with host params
             score_params = state.params
-            if jax.process_count() > 1:
+            if jax.process_count() > 1 or pp_active:
                 score_params = jax.tree.map(np.asarray, state.params)
             validate_generation_score(epoch, score_params, cfg, gen_loader,
                                       val_ref, tokenizer, args, logger=logger,
