@@ -261,3 +261,18 @@ def pipeline_microbatches(args):
     pp_stages = max(1, getattr(args, 'pipeline_stages', 1))
     m = getattr(args, 'pipeline_microbatches', 0)
     return m if m > 0 else pp_stages
+
+
+def validate_batch_layout(args, n_data):
+    """The train step splits each batch by grad_accum_steps FIRST, so every
+    accum micro-batch (batch_size / G) must itself divide the per-step
+    divisor ``n_data`` (data-mesh shards, times pipeline microbatches when
+    PP is on). The loader's trim divisor alone cannot enforce this — a
+    batch_size divisible by n_data but not by G*n_data would pass loading
+    and then fail shape checks at the first train step."""
+    G = max(1, getattr(args, 'grad_accum_steps', 1))
+    if args.batch_size % (G * n_data):
+        raise ValueError(
+            f'batch_size={args.batch_size} must be divisible by '
+            f'grad_accum_steps={G} x per-step batch divisor {n_data} '
+            f'(data shards, x pipeline microbatches under --pipeline_stages)')

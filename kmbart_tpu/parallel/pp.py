@@ -61,14 +61,10 @@ def make_stage_mesh(n_stages, devices=None):
 def make_pp_mesh(n_stages, devices=None):
     """2-D ``data x stage`` mesh over ALL devices: each data replica runs
     its own n_stages-deep pipeline (stage innermost, so ring hops ride
-    neighbouring ICI links)."""
-    if devices is None:
-        devices = jax.devices()
-    n = len(devices)
-    if n % n_stages:
-        raise ValueError(f"{n} devices not divisible by {n_stages} stages")
-    grid = np.asarray(devices).reshape(n // n_stages, n_stages)
-    return Mesh(grid, ("data", "stage"))
+    neighbouring ICI links — the same invariant make_mesh keeps for TP)."""
+    from kmbart_tpu.parallel.mesh import make_mesh
+    return make_mesh(devices=devices, model_parallel=n_stages,
+                     axis_names=("data", "stage"))
 
 
 def stage_param_specs(params):
@@ -85,29 +81,15 @@ def stage_param_specs(params):
 
 def stage_train_state_shardings(mesh, params):
     """NamedSharding pytree for a TrainState with stage-sharded stacked
-    layers (optimizer moments inherit the parameter layout, mirroring
-    tp.train_state_shardings)."""
-    from jax.sharding import NamedSharding
-
-    from kmbart_tpu.training.adamw import AdamWState
-    from kmbart_tpu.training.state import TrainState
-
-    specs = stage_param_specs(params)
-    to_sh = lambda tree: jax.tree.map(lambda s: NamedSharding(mesh, s), tree,
-                                      is_leaf=lambda x: isinstance(x, P))
-    p_sh = to_sh(specs)
-    repl = NamedSharding(mesh, P())
-    ls_sh = jax.tree.map(lambda _: repl, specs,
-                         is_leaf=lambda x: isinstance(x, P))
-    return TrainState(
-        params=p_sh,
-        opt_state=AdamWState(step=repl, mu=p_sh, nu=p_sh, leaf_steps=ls_sh),
-        step=repl,
-    )
+    layers (optimizer moments inherit the parameter layout; the assembly
+    is tp.train_state_shardings with the stage specs swapped in)."""
+    from kmbart_tpu.parallel.tp import train_state_shardings
+    return train_state_shardings(mesh, params,
+                                 specs=stage_param_specs(params))
 
 
 def _pipeline_stack(mesh, stacked_layers, apply_layer, x, n_micro,
-                    layers_per_stage, extras):
+                    layers_per_stage, extras, remat=False):
     """Run ``x`` [B, T, D] through the stacked layers as a GPipe pipeline.
 
     ``apply_layer(local_layers_j, x_mb, micro_idx, global_layer_idx,
@@ -115,21 +97,31 @@ def _pipeline_stack(mesh, stacked_layers, apply_layer, x, n_micro,
     replicated side inputs (masks, encoder output, rng key) passed through
     shard_map explicitly — closing over enclosing-jit tracers inside the
     shard_map body is not part of its contract. Returns [B, T, D].
+
+    ``remat``: rematerialise each layer application in the backward
+    (cfg.remat parity with the sequential stacks) — with PP's long
+    M+S-1-tick schedule this is usually the difference between fitting
+    and not fitting the backward in HBM.
     """
     S = mesh.shape["stage"]
     n_data = dict(mesh.shape).get("data", 1)
     B = x.shape[0]
+    if n_micro < 1:
+        raise ValueError(f"n_micro must be >= 1, got {n_micro}")
     if B % (n_micro * n_data):
         raise ValueError(f"batch {B} not divisible by n_micro={n_micro}"
                          f" x data shards={n_data}")
     M = n_micro
     extras = {k: v for k, v in extras.items() if v is not None}
     # batch-like extras (leading dim == global B) shard with the data axis;
-    # everything else (rng keys) is replicated
+    # the rng key is always replicated (a legacy (2,)-uint32 key would
+    # false-positive the leading-dim test whenever B == 2)
     data_ax = "data" if n_data > 1 else None
-    ex_spec = {k: (P(data_ax) if getattr(v, "ndim", 0) >= 1
+    ex_spec = {k: (P(data_ax) if k != "rng" and getattr(v, "ndim", 0) >= 1
                    and v.shape[0] == B else P())
                for k, v in extras.items()}
+    if remat:
+        apply_layer = jax.checkpoint(apply_layer)
 
     def staged(local_layers, x_full, ex):
         s = jax.lax.axis_index("stage")
@@ -138,8 +130,7 @@ def _pipeline_stack(mesh, stacked_layers, apply_layer, x, n_micro,
         state0 = jnp.zeros((mb,) + x_full.shape[1:], x_full.dtype)
         out0 = jnp.zeros_like(xm)
 
-        def tick(carry, t):
-            state, out = carry
+        def compute(state, out, t):
             # stage 0 ingests microbatch t while t < M; later stages take
             # the ring-shifted activation from the previous tick
             inp = xm[jnp.clip(t, 0, M - 1)]
@@ -154,13 +145,21 @@ def _pipeline_stack(mesh, stacked_layers, apply_layer, x, n_micro,
             upd = jax.lax.dynamic_update_slice(
                 out, h[None].astype(out.dtype),
                 (jnp.clip(done, 0, M - 1),) + (0,) * (out.ndim - 1))
-            out = jnp.where(write, upd, out)
+            return h, jnp.where(write, upd, out)
+
+        def tick(carry, t):
+            state, out = carry
+            h, out = compute(state, out, t)
             state = jax.lax.ppermute(
                 h, "stage", [(i, (i + 1) % S) for i in range(S)])
             return (state, out), None
 
-        (_, out), _ = jax.lax.scan(tick, (state0, out0),
-                                   jnp.arange(M + S - 1))
+        # scan all but the final tick; the final tick's shifted activation
+        # would land in a discarded carry, so peel it and skip the ppermute
+        # (one [mb, T, D] ICI hop saved per stack per step, fwd and bwd)
+        (state, out), _ = jax.lax.scan(tick, (state0, out0),
+                                       jnp.arange(M + S - 2))
+        _, out = compute(state, out, M + S - 2)
         # broadcast the collected outputs (non-last stages hold zeros)
         out = jax.lax.psum(jnp.where(s == S - 1, out, 0), "stage")
         return out.reshape(x_full.shape)
@@ -194,6 +193,8 @@ def pipelined_forward(params, cfg: MultiModalBartConfig, batch, mesh, *,
     attention_mask = batch.get("attention_mask")
     dec_mask = batch.get("decoder_attention_mask")
     B = batch["input_ids"].shape[0]
+    if n_micro < 1:
+        raise ValueError(f"n_micro must be >= 1, got {n_micro}")
     # slice_mb runs inside the shard_map body, where batch-like extras are
     # LOCAL data shards — the slice width is the per-shard microbatch
     mb = B // dict(mesh.shape).get("data", 1) // n_micro
@@ -224,7 +225,8 @@ def pipelined_forward(params, cfg: MultiModalBartConfig, batch, mesh, *,
 
     enc = _pipeline_stack(mesh, params["encoder"]["layers"], enc_apply, x,
                           n_micro, cfg.encoder_layers // S,
-                          {"mask": attention_mask, "rng": rng_enc})
+                          {"mask": attention_mask, "rng": rng_enc},
+                          remat=cfg.remat)
     if cfg.normalize_before:
         ln = params["encoder"]["layer_norm"]
         enc = layer_norm(enc, ln["scale"], ln["bias"])
@@ -244,7 +246,8 @@ def pipelined_forward(params, cfg: MultiModalBartConfig, batch, mesh, *,
     dec = _pipeline_stack(mesh, params["decoder"]["layers"], dec_apply, y,
                           n_micro, cfg.decoder_layers // S,
                           {"enc": enc, "mask": attention_mask,
-                           "dec_mask": dec_mask, "rng": rng_dec})
+                           "dec_mask": dec_mask, "rng": rng_dec},
+                          remat=cfg.remat)
     if cfg.add_final_layer_norm:
         ln = params["decoder"]["layer_norm"]
         dec = layer_norm(dec, ln["scale"], ln["bias"])

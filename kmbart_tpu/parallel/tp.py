@@ -68,10 +68,15 @@ def param_partition_specs(params):
     return treedef.unflatten([spec_for(path, leaf) for path, leaf in paths])
 
 
-def train_state_shardings(mesh, params):
+def train_state_shardings(mesh, params, specs=None):
     """NamedSharding pytree for a TrainState over ``mesh`` with TP params
-    (optimizer moments inherit the parameter layout = ZeRO-free TP)."""
-    specs = param_partition_specs(params)
+    (optimizer moments inherit the parameter layout = ZeRO-free TP).
+
+    ``specs`` overrides the per-leaf PartitionSpecs (pp.py passes its
+    stage-sharded layout through here so the TrainState/AdamWState
+    assembly lives in exactly one place)."""
+    if specs is None:
+        specs = param_partition_specs(params)
     to_sh = lambda tree: jax.tree.map(lambda s: NamedSharding(mesh, s), tree,
                                       is_leaf=lambda x: isinstance(x, P))
     p_sh = to_sh(specs)

@@ -116,6 +116,61 @@ def test_pipeline_validates_shapes(tiny_cfg, np_rng):
         pp.pipelined_conditional_loss(params2, cfg2, batch, mesh,
                                       n_micro=2, train=True,
                                       rng=jax.random.PRNGKey(0))
+    cfg3 = tiny_cfg.replace(dtype="float32")
+    params3 = init_conditional_params(jax.random.PRNGKey(0), cfg3)
+    with pytest.raises(ValueError, match="n_micro"):
+        pp.pipelined_conditional_loss(params3, cfg3, batch, mesh, n_micro=0)
+
+
+def test_pipelined_remat_matches(tiny_cfg, np_rng):
+    """cfg.remat on the pipelined path: same values (remat only changes
+    WHEN activations are computed), grads equal the non-remat pipeline."""
+    cfg = tiny_cfg.replace(dtype="float32")
+    params = init_conditional_params(jax.random.PRNGKey(0), cfg)
+    batch = _batch(cfg, np_rng)
+    mesh = pp.make_stage_mesh(2)
+
+    cfg_r = cfg.replace(remat=True)
+    g_plain = jax.jit(jax.value_and_grad(
+        lambda p, b: pp.pipelined_conditional_loss(
+            p, cfg, b, mesh, n_micro=2)[0]))(params, batch)
+    g_remat = jax.jit(jax.value_and_grad(
+        lambda p, b: pp.pipelined_conditional_loss(
+            p, cfg_r, b, mesh, n_micro=2)[0]))(params, batch)
+    np.testing.assert_array_equal(np.asarray(g_plain[0]),
+                                  np.asarray(g_remat[0]))
+    for a, b in zip(jax.tree.leaves(g_plain[1]), jax.tree.leaves(g_remat[1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_pipelined_tiny_batch_rng_replicated(tiny_cfg, np_rng):
+    """B == 2 with a legacy (2,)-uint32 PRNG key: the key must stay
+    replicated (a leading-dim heuristic would shard it over data and
+    crash fold_in with a malformed key)."""
+    cfg = tiny_cfg.replace(dtype="float32", dropout=0.1,
+                           encoder_layers=4, decoder_layers=4)
+    params = init_conditional_params(jax.random.PRNGKey(0), cfg)
+    batch = _batch(cfg, np_rng, B=2)
+    mesh = pp.make_pp_mesh(4)  # data=2 x stage=4
+    loss, _ = jax.jit(lambda p, b, r: pp.pipelined_conditional_loss(
+        p, cfg, b, mesh, n_micro=1, train=True, rng=r))(
+            params, batch, jax.random.PRNGKey(5))
+    assert np.isfinite(float(loss))
+
+
+def test_validate_batch_layout():
+    """grad_accum splits the batch BEFORE the per-step divisor applies, so
+    batch_size=24 with G=2 over an 8-way divisor must be rejected at CLI
+    setup (24 % 8 == 0 would pass the loader, then fail the first step)."""
+    import argparse
+
+    from kmbart_tpu.cli_common import validate_batch_layout
+    ns = argparse.Namespace(batch_size=24, grad_accum_steps=2)
+    with pytest.raises(ValueError, match="grad_accum_steps"):
+        validate_batch_layout(ns, 8)
+    validate_batch_layout(argparse.Namespace(batch_size=32,
+                                             grad_accum_steps=2), 8)
 
 
 def test_dp_x_pp_mesh_matches_sequential(tiny_cfg, np_rng):

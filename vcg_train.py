@@ -96,6 +96,8 @@ def main(args):
         # every data shard must further split into n_micro pipeline
         # microbatches, so partial batches trim to this multiple
         n_data *= n_micro
+    from kmbart_tpu.cli_common import validate_batch_layout
+    validate_batch_layout(args, n_data)
     batch_sharding = None
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
