@@ -247,11 +247,13 @@ def make_mesh_from_args(args):
     mp = max(1, args.model_parallel)
     pp_stages = max(1, getattr(args, 'pipeline_stages', 1))
     if pp_stages > 1:
-        if mp > 1 or getattr(args, 'sequence_parallel', False):
+        if getattr(args, 'sequence_parallel', False):
             raise ValueError('--pipeline_stages cannot be combined with '
-                             '--model_parallel>1 / --sequence_parallel')
+                             '--sequence_parallel')
+        # --model_parallel composes: 3-D data x stage x model mesh with
+        # Megatron-TP inside each pipeline stage (parallel/pp.py)
         from kmbart_tpu.parallel.pp import make_pp_mesh
-        return make_pp_mesh(pp_stages)
+        return make_pp_mesh(pp_stages, model_parallel=mp)
     if n % mp:
         raise ValueError(f'{n} devices not divisible by model_parallel={mp}')
     return make_mesh(model_parallel=mp)

@@ -58,34 +58,72 @@ def make_stage_mesh(n_stages, devices=None):
     return Mesh(np.asarray(devices[:n_stages]), ("stage",))
 
 
-def make_pp_mesh(n_stages, devices=None):
+def make_pp_mesh(n_stages, devices=None, model_parallel=1):
     """2-D ``data x stage`` mesh over ALL devices: each data replica runs
     its own n_stages-deep pipeline (stage innermost, so ring hops ride
-    neighbouring ICI links — the same invariant make_mesh keeps for TP)."""
+    neighbouring ICI links — the same invariant make_mesh keeps for TP).
+
+    ``model_parallel > 1`` makes it the full 3-D ``data x stage x model``
+    mesh: Megatron-TP *within* each pipeline stage, the TP axis innermost
+    so its (per-layer, frequent) all-reduces ride the fastest ICI links
+    while the (per-microbatch, rarer) stage hops take the next dimension."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if model_parallel > 1:
+        if n % (n_stages * model_parallel):
+            raise ValueError(
+                f"{n} devices not divisible by stages={n_stages} x "
+                f"model_parallel={model_parallel}")
+        grid = np.asarray(devices).reshape(
+            n // (n_stages * model_parallel), n_stages, model_parallel)
+        return Mesh(grid, ("data", "stage", "model"))
     from kmbart_tpu.parallel.mesh import make_mesh
     return make_mesh(devices=devices, model_parallel=n_stages,
                      axis_names=("data", "stage"))
 
 
-def stage_param_specs(params):
+def stage_param_specs(params, model_parallel=False):
     """PartitionSpec pytree: stacked [L, ...] layer tensors shard their
     layer axis over ``stage``; everything else is replicated. L must be
-    divisible by the stage count (checked at shard time by GSPMD)."""
-    def spec_for(path, leaf):
+    divisible by the stage count (checked at shard time by GSPMD).
+
+    ``model_parallel=True`` composes Megatron-TP on top: layer leaves get
+    ``stage`` on the layer axis PLUS tp.py's column/row feature sharding
+    over ``model``, and the non-layer ends (embeddings, heads) take tp.py's
+    specs unchanged."""
+    tp_specs = None
+    if model_parallel:
+        from kmbart_tpu.parallel.tp import param_partition_specs
+        tp_specs = param_partition_specs(params)
+
+    def spec_for(path, leaf, tp_spec):
         if any(getattr(p, "key", None) == "layers" for p in path):
+            if tp_spec is not None:
+                # tp.py's stacked-layer rules lead with None for the [L]
+                # axis — swap that slot for the stage axis
+                return P("stage", *tuple(tp_spec)[1:])
             return P("stage")
-        return P()
+        return tp_spec if tp_spec is not None else P()
+
     paths, treedef = jax.tree_util.tree_flatten_with_path(params)
-    return treedef.unflatten([spec_for(path, leaf) for path, leaf in paths])
+    tp_leaves = (jax.tree.leaves(tp_specs,
+                                 is_leaf=lambda x: isinstance(x, P))
+                 if tp_specs is not None else [None] * len(paths))
+    return treedef.unflatten([spec_for(path, leaf, ts)
+                              for (path, leaf), ts in zip(paths, tp_leaves)])
 
 
 def stage_train_state_shardings(mesh, params):
     """NamedSharding pytree for a TrainState with stage-sharded stacked
     layers (optimizer moments inherit the parameter layout; the assembly
-    is tp.train_state_shardings with the stage specs swapped in)."""
+    is tp.train_state_shardings with the stage specs swapped in). On a
+    3-D mesh with a ``model`` axis the specs compose TP within stages."""
     from kmbart_tpu.parallel.tp import train_state_shardings
+    tp = dict(mesh.shape).get("model", 1) > 1
     return train_state_shardings(mesh, params,
-                                 specs=stage_param_specs(params))
+                                 specs=stage_param_specs(params,
+                                                         model_parallel=tp))
 
 
 def _pipeline_stack(mesh, stacked_layers, apply_layer, x, n_micro,
@@ -123,7 +161,31 @@ def _pipeline_stack(mesh, stacked_layers, apply_layer, x, n_micro,
     if remat:
         apply_layer = jax.checkpoint(apply_layer)
 
+    # On a PP x TP mesh (auto ``model`` axis) XLA's partial-auto
+    # partitioner miscompiles psum-over-a-MANUAL-axis on sub-fp32 floats
+    # (fatal "Invalid binary instruction opcode copy"), and shard_map's
+    # autodiff inserts exactly such psums for every float boundary tensor
+    # that is replicated along ``stage``. Lift the sub-fp32 float boundary
+    # I/O to fp32 — bf16 values are exactly representable, so results are
+    # bit-identical — and cast back to the compute dtype inside the body.
+    def _subf32(v):
+        return (jnp.issubdtype(v.dtype, jnp.floating)
+                and jnp.dtype(v.dtype).itemsize < 4)
+
+    io_dtype = x.dtype
+    lift = "model" in mesh.axis_names and _subf32(x)
+    lifted_extras = ({k for k, v in extras.items() if _subf32(v)}
+                     if lift else set())
+    if lift:
+        x = x.astype(jnp.float32)
+        extras = {k: (v.astype(jnp.float32) if k in lifted_extras else v)
+                  for k, v in extras.items()}
+
     def staged(local_layers, x_full, ex):
+        if lift:
+            x_full = x_full.astype(io_dtype)
+            ex = {k: (v.astype(io_dtype) if k in lifted_extras else v)
+                  for k, v in ex.items()}
         s = jax.lax.axis_index("stage")
         mb = x_full.shape[0] // M  # local (per-data-shard) microbatch
         xm = x_full.reshape((M, mb) + x_full.shape[1:])
@@ -160,15 +222,27 @@ def _pipeline_stack(mesh, stacked_layers, apply_layer, x, n_micro,
         (state, out), _ = jax.lax.scan(tick, (state0, out0),
                                        jnp.arange(M + S - 2))
         _, out = compute(state, out, M + S - 2)
-        # broadcast the collected outputs (non-last stages hold zeros)
-        out = jax.lax.psum(jnp.where(s == S - 1, out, 0), "stage")
-        return out.reshape(x_full.shape)
+        # broadcast the collected outputs (non-last stages hold zeros);
+        # the psum runs in fp32 under ``lift`` (see above) — exact, since
+        # every non-zero contribution is a bf16-representable value
+        res = jnp.where(s == S - 1, out, 0)
+        if lift:
+            res = res.astype(jnp.float32)  # boundary tensor: fp32 psum
+        out = jax.lax.psum(res, "stage")
+        return out.reshape((x_full.shape[0],) + x_full.shape[1:])
 
     layer_specs = jax.tree.map(lambda _: P("stage"), stacked_layers)
+    # manual over data+stage only; a ``model`` mesh axis (PP x TP) stays
+    # automatic, so GSPMD partitions each stage's layer compute over it
+    # exactly as on a plain TP mesh (the in_specs name manual axes only —
+    # the weights' model-axis sharding flows through untouched)
+    manual = frozenset(mesh.axis_names) - {"model"}
     fn = jax.shard_map(staged, mesh=mesh,
                        in_specs=(layer_specs, P(data_ax), ex_spec),
-                       out_specs=P(data_ax), check_vma=False)
-    return fn(stacked_layers, x, extras)
+                       out_specs=P(data_ax), axis_names=manual,
+                       check_vma=False)
+    out = fn(stacked_layers, x, extras)
+    return out.astype(io_dtype) if lift else out
 
 
 def pipelined_forward(params, cfg: MultiModalBartConfig, batch, mesh, *,

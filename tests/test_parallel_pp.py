@@ -159,6 +159,23 @@ def test_pipelined_tiny_batch_rng_replicated(tiny_cfg, np_rng):
     assert np.isfinite(float(loss))
 
 
+def test_make_mesh_from_args_3d():
+    """--pipeline_stages 2 --model_parallel 2 builds the 3-D mesh through
+    the CLI path (2 data x 2 stage x 2 model on 8 devices); SP + PP stays
+    rejected."""
+    import argparse
+
+    from kmbart_tpu.cli_common import make_mesh_from_args
+    ns = argparse.Namespace(model_parallel=2, pipeline_stages=2,
+                            sequence_parallel=False)
+    mesh = make_mesh_from_args(ns)
+    assert dict(mesh.shape) == {"data": 2, "stage": 2, "model": 2}
+    ns_sp = argparse.Namespace(model_parallel=1, pipeline_stages=2,
+                               sequence_parallel=True)
+    with pytest.raises(ValueError, match="sequence_parallel"):
+        make_mesh_from_args(ns_sp)
+
+
 def test_validate_batch_layout():
     """grad_accum splits the batch BEFORE the per-step divisor applies, so
     batch_size=24 with G=2 over an 8-way divisor must be rejected at CLI
@@ -206,6 +223,97 @@ def test_dp_x_pp_mesh_matches_sequential(tiny_cfg, np_rng):
     for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_pp)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_pp_x_tp_mesh_matches_sequential(tiny_cfg, np_rng):
+    """DP2 x PP2 x TP2 — the full 3-D composition. The stage axis is
+    manual (shard_map ring) while the model axis stays AUTOMATIC, so GSPMD
+    partitions each stage's layer compute over it exactly as on a plain TP
+    mesh (Megatron column/row specs from tp.py, composed by
+    stage_param_specs(model_parallel=True)). TP all-reduce order differs
+    from the sequential reduction, so parity is tight-allclose (the TP
+    test tolerance), not bitwise."""
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from kmbart_tpu.models.conditional import conditional_loss
+
+    cfg = tiny_cfg.replace(dtype="float32")
+    params = init_conditional_params(jax.random.PRNGKey(0), cfg)
+    batch = _batch(cfg, np_rng)
+    mesh = pp.make_pp_mesh(2, model_parallel=2)
+    assert dict(mesh.shape) == {"data": 2, "stage": 2, "model": 2}
+    specs = pp.stage_param_specs(params, model_parallel=True)
+    # the composed specs must carry BOTH axes on the stacked layer weights
+    assert specs["model"]["encoder"]["layers"]["self_attn"]["q_kernel"] \
+        == P("stage", None, "model")
+    assert specs["model"]["shared"] == P(None, "model")
+    sharded = jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params, specs)
+    dev_batch = {k: jax.device_put(v, NamedSharding(mesh, P("data")))
+                 for k, v in batch.items()}
+
+    ref = jax.jit(lambda p, b: conditional_loss(p, cfg, b)[0])(params, batch)
+    got = jax.jit(lambda p, b: pp.pipelined_conditional_loss(
+        p, cfg, b, mesh, n_micro=2)[0])(sharded, dev_batch)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6)
+
+    g_ref = jax.jit(jax.grad(
+        lambda p, b: conditional_loss(p, cfg, b)[0]))(params, batch)
+    g_pp = jax.jit(jax.grad(lambda p, b: pp.pipelined_conditional_loss(
+        p, cfg, b, mesh, n_micro=2)[0]))(sharded, dev_batch)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_pp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_pp_x_tp_bf16_compiles_and_runs(tiny_cfg, np_rng):
+    """bf16 on the 3-D mesh: XLA's partial-auto partitioner miscompiles
+    psum-over-a-manual-axis on sub-fp32 floats (fatal 'Invalid binary
+    instruction opcode copy'), so _pipeline_stack lifts its float boundary
+    I/O to fp32 there. This pins the workaround: the bf16 pipelined loss
+    must compile, run, and land within bf16 tolerance of the sequential
+    bf16 loss."""
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from kmbart_tpu.models.conditional import conditional_loss
+
+    cfg = tiny_cfg.replace(dtype="bfloat16")
+    params = init_conditional_params(jax.random.PRNGKey(0), cfg)
+    batch = _batch(cfg, np_rng)
+    mesh = pp.make_pp_mesh(2, model_parallel=2)
+    sharded = jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params, pp.stage_param_specs(params, model_parallel=True))
+    dev_batch = {k: jax.device_put(v, NamedSharding(mesh, P("data")))
+                 for k, v in batch.items()}
+
+    ref = jax.jit(lambda p, b: conditional_loss(p, cfg, b)[0])(params, batch)
+    loss, grads = jax.jit(jax.value_and_grad(
+        lambda p, b: pp.pipelined_conditional_loss(
+            p, cfg, b, mesh, n_micro=2)[0]))(sharded, dev_batch)
+    np.testing.assert_allclose(np.asarray(loss), np.asarray(ref),
+                               rtol=2e-2)
+    assert all(np.isfinite(np.asarray(g)).all()
+               for g in jax.tree.leaves(grads))
+
+
+def test_pp_x_tp_train_state_shardings(tiny_cfg):
+    """stage_train_state_shardings on the 3-D mesh: optimizer moments
+    inherit the composed stage x model layout, scalars stay replicated."""
+    from jax.sharding import PartitionSpec as P
+
+    cfg = tiny_cfg.replace(dtype="float32")
+    params = init_conditional_params(jax.random.PRNGKey(0), cfg)
+    mesh = pp.make_pp_mesh(2, model_parallel=2)
+    sh = pp.stage_train_state_shardings(mesh, params)
+    q = sh.params["model"]["encoder"]["layers"]["self_attn"]["q_kernel"]
+    assert q.spec == P("stage", None, "model")
+    mu = sh.opt_state.mu["model"]["encoder"]["layers"]["self_attn"]
+    assert mu["q_kernel"].spec == q.spec
+    assert sh.opt_state.step.spec == P()
 
 
 def test_pipelined_pretraining_loss_exact(tiny_cfg, np_rng):
