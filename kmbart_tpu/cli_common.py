@@ -56,9 +56,15 @@ def add_hardware_args(parser):
     parser.add_argument('--pipeline_stages', default=1, type=int,
                         help='pipeline-parallel stage count (GPipe '
                              'scan+ppermute schedule, parallel/pp.py; mesh = '
-                             'data x stage). For models whose layers outgrow '
-                             'one chip; mutually exclusive with '
-                             '--model_parallel>1. Layer counts must divide it.')
+                             'data x stage, or data x stage x model combined '
+                             'with --model_parallel>1). For models whose '
+                             'layers outgrow one chip. Layer counts must '
+                             'divide it.')
+    parser.add_argument('--zero1', action='store_true',
+                        help='ZeRO stage 1: shard the AdamW moments (2/3 of '
+                             'optimizer memory) over the data axis instead '
+                             'of replicating them; params/grads stay plain '
+                             'DP (parallel/tp.py zero1_moment_specs)')
     parser.add_argument('--pipeline_microbatches', default=0, type=int,
                         help='microbatches per pipeline (0 = stage count). '
                              'The per-data-shard batch must be divisible by '

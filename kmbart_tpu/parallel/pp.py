@@ -114,16 +114,18 @@ def stage_param_specs(params, model_parallel=False):
                               for (path, leaf), ts in zip(paths, tp_leaves)])
 
 
-def stage_train_state_shardings(mesh, params):
+def stage_train_state_shardings(mesh, params, zero1=False):
     """NamedSharding pytree for a TrainState with stage-sharded stacked
     layers (optimizer moments inherit the parameter layout; the assembly
     is tp.train_state_shardings with the stage specs swapped in). On a
-    3-D mesh with a ``model`` axis the specs compose TP within stages."""
+    3-D mesh with a ``model`` axis the specs compose TP within stages;
+    ``zero1`` additionally shards the moments over ``data``."""
     from kmbart_tpu.parallel.tp import train_state_shardings
     tp = dict(mesh.shape).get("model", 1) > 1
     return train_state_shardings(mesh, params,
                                  specs=stage_param_specs(params,
-                                                         model_parallel=tp))
+                                                         model_parallel=tp),
+                                 zero1=zero1)
 
 
 def _pipeline_stack(mesh, stacked_layers, apply_layer, x, n_micro,

@@ -68,30 +68,63 @@ def param_partition_specs(params):
     return treedef.unflatten([spec_for(path, leaf) for path, leaf in paths])
 
 
-def train_state_shardings(mesh, params, specs=None):
-    """NamedSharding pytree for a TrainState over ``mesh`` with TP params
-    (optimizer moments inherit the parameter layout = ZeRO-free TP).
+def _zero1_spec(spec, shape, n_data):
+    """Add ``data`` to the first unsharded axis whose size n_data divides
+    (leaves too small or with no free divisible axis stay as-is)."""
+    names = list(spec) + [None] * (len(shape) - len(spec))
+    for i, (ax, dim) in enumerate(zip(names, shape)):
+        if ax is None and dim >= n_data and dim % n_data == 0:
+            names[i] = "data"
+            return P(*names)
+    return spec
+
+
+def zero1_moment_specs(specs, params, n_data):
+    """ZeRO-1 PartitionSpecs for the AdamW moments: each leaf's spec gains
+    ``data`` on its first free divisible axis (composes with TP/stage
+    sharding — those axes are already taken in ``specs``)."""
+    return jax.tree.map(
+        lambda s, p: _zero1_spec(s, p.shape, n_data), specs, params,
+        is_leaf=lambda x: isinstance(x, P))
+
+
+def train_state_shardings(mesh, params, specs=None, zero1=False):
+    """NamedSharding pytree for a TrainState over ``mesh`` with TP params.
 
     ``specs`` overrides the per-leaf PartitionSpecs (pp.py passes its
     stage-sharded layout through here so the TrainState/AdamWState
-    assembly lives in exactly one place)."""
+    assembly lives in exactly one place).
+
+    ``zero1``: ZeRO stage 1 — the AdamW moments (2/3 of optimizer memory)
+    additionally shard over the ``data`` axis instead of inheriting the
+    replicated-param layout. Params/grads stay replicated across data
+    (plain DP), so the only layout change the compiler must bridge is the
+    elementwise optimizer update reading grad slices and writing param
+    updates shard-local, then all-gathering the fresh params — the
+    standard ZeRO-1 exchange, chosen by GSPMD from these specs. No
+    reference counterpart (its optimizer state is replicated per GPU,
+    src/training.py:29-60)."""
     if specs is None:
         specs = param_partition_specs(params)
     to_sh = lambda tree: jax.tree.map(lambda s: NamedSharding(mesh, s), tree,
                                       is_leaf=lambda x: isinstance(x, P))
     p_sh = to_sh(specs)
+    m_sh = p_sh
+    n_data = dict(mesh.shape).get("data", 1)
+    if zero1 and n_data > 1:
+        m_sh = to_sh(zero1_moment_specs(specs, params, n_data))
     repl = NamedSharding(mesh, P())
     # per-leaf step counters are replicated scalars
     ls_sh = jax.tree.map(lambda _: repl, specs,
                          is_leaf=lambda x: isinstance(x, P))
     return TrainState(
         params=p_sh,
-        opt_state=AdamWState(step=repl, mu=p_sh, nu=p_sh, leaf_steps=ls_sh),
+        opt_state=AdamWState(step=repl, mu=m_sh, nu=m_sh, leaf_steps=ls_sh),
         step=repl,
     )
 
 
-def shard_train_state(mesh, state):
+def shard_train_state(mesh, state, zero1=False):
     """Place an existing (host/replicated) TrainState onto the TP layout."""
-    sh = train_state_shardings(mesh, state.params)
+    sh = train_state_shardings(mesh, state.params, zero1=zero1)
     return jax.tree.map(jax.device_put, state, sh)

@@ -180,7 +180,8 @@ def main(args):
                 p, cfg, b, mesh, n_micro=n_micro, train=True, rng=rng)
             return loss, {k: v for k, v in aux['losses'].items() if k != 'loss'}
 
-        param_specs = pp.stage_train_state_shardings(mesh, state.params)
+        param_specs = pp.stage_train_state_shardings(
+            mesh, state.params, zero1=getattr(args, 'zero1', False))
         state = jax.tree.map(jax.device_put, state, param_specs)
     else:
         def loss_fn(p, b, rng):
@@ -188,11 +189,14 @@ def main(args):
             return loss, {k: v for k, v in aux['losses'].items() if k != 'loss'}
 
         param_specs = None
-        if mesh is not None and mesh.shape.get('model', 1) > 1:
+        zero1 = getattr(args, 'zero1', False)
+        if mesh is not None and (mesh.shape.get('model', 1) > 1
+                                 or zero1):
             from kmbart_tpu.parallel.tp import (
                 shard_train_state, train_state_shardings)
-            param_specs = train_state_shardings(mesh, state.params)
-            state = shard_train_state(mesh, state)
+            param_specs = train_state_shardings(mesh, state.params,
+                                                zero1=zero1)
+            state = shard_train_state(mesh, state, zero1=zero1)
     train_step = build_train_step(loss_fn, optimizer, mesh=mesh,
                                   param_specs=param_specs,
                                   grad_accum_steps=args.grad_accum_steps)
