@@ -178,6 +178,27 @@ def sharded_state_dir(path):
     return os.path.join(path, "sharded_state") if path else None
 
 
+def host_replicated(tree):
+    """Host (numpy) copies of a possibly cross-process-sharded pytree.
+
+    ``np.asarray`` is only legal on fully-addressable arrays; TP-sharded
+    params under ``--multihost`` and ZeRO-1 moments span processes, so such
+    leaves are first gathered to a replicated layout (a collective every
+    process participates in — call this from ALL processes BEFORE any
+    rank-gated write, never inside an ``is_main_process()`` branch)."""
+    import numpy as _np
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    def fix(x):
+        if (hasattr(x, "is_fully_addressable")
+                and not x.is_fully_addressable):
+            x = jax.device_put(
+                x, NamedSharding(x.sharding.mesh, PartitionSpec()))
+        return _np.asarray(x)
+
+    return jax.tree_util.tree_map(fix, tree)
+
+
 def save_train_checkpoint(path, cfg, state, epoch, args):
     """Per-epoch/step train checkpoint.
 
@@ -200,13 +221,15 @@ def save_train_checkpoint(path, cfg, state, epoch, args):
                      {"state": state, "epoch": _np.asarray(epoch)},
                      block=False)
         return
-    # portable npz: process 0 writes the whole (replicated) state — the
-    # reference's rank-0 torch.save (src/utils.py:20-27). np.asarray on a
-    # fully-replicated global array is legal from any process.
+    # portable npz: gather any cross-process-sharded leaves (TP params
+    # under --multihost, ZeRO-1 moments) to host replicas — every process
+    # participates in the collective — then process 0 writes the whole
+    # state, the reference's rank-0 torch.save (src/utils.py:20-27).
+    host_state = host_replicated(state)
     if is_main_process():
-        save_pretrained(path, cfg, state.params)
-        save_training_data(path, opt_state=state.opt_state, epoch=epoch,
-                           step=int(state.step))
+        save_pretrained(path, cfg, host_state.params)
+        save_training_data(path, opt_state=host_state.opt_state,
+                           epoch=epoch, step=int(host_state.step))
 
 
 def load_sharded_train_checkpoint(args, state_template):

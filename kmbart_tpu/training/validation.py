@@ -15,15 +15,23 @@ def validate_loss(epoch, params, eval_step, val_loader, *, logger=None,
                   batch_sharding=None):
     total_step = len(val_loader)
     loss = 0.0
+    steps = 0
     start_time = datetime.now()
     for i, batch in enumerate(val_loader):
         metrics = eval_step(params, place_batch(batch, batch_sharding))
         loss += float(metrics["loss"])
+        steps += 1
         if logger is not None and i % log_interval == 0:
             eta = (total_step - (i + 1)) / (i + 1) * (datetime.now() - start_time)
             logger.info("Computing validation loss, Step [{}/{}], Loss: {:.4f}, ETA: {}".format(
                 i + 1, total_step, loss / (i + 1), str(eta)))
-    loss /= max(total_step, 1)
+    # mean over batches the loader actually yielded: a trailing partial
+    # batch smaller than the data-mesh divisor is SKIPPED by the loader
+    # (loader.py _trim_to_divisor), and len(val_loader) still counts it —
+    # dividing by that would silently deflate the val loss, by a
+    # mesh-dependent amount (caught by the multiprocess TP-vs-DP parity
+    # test: divisor 8 skipped the 4-row tail batch, divisor 2 kept it)
+    loss /= max(steps, 1)
     if logger is not None:
         logger.info("Validation loss", pad=True)
         logger.info("Epoch: {}, Val loss: {}".format(epoch + 1, loss))

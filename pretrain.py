@@ -207,13 +207,18 @@ def main(args):
                                 'step{}'.format(int(state.step)))
             save_train_checkpoint(path, cfg, state, epoch, args)
             logger.info('Saved mid-epoch checkpoint at "{}"'.format(path))
-        if is_main and step % 100 == 0:
+        if step % 100 == 0:
             from kmbart_tpu.models.pretraining import MultiModalBartForPreTraining
             params = state.params
             if jax.process_count() > 1 or pp_active:
                 # forward_logits is a process-local jit; pull a host copy of
-                # the (replicated or stage-sharded) params for the decode
-                params = jax.tree.map(np.asarray, params)
+                # the (replicated, stage- or TP-sharded) params — a
+                # collective gather when shards span processes, so EVERY
+                # rank joins before the is_main gate below
+                from kmbart_tpu.cli_common import host_replicated
+                params = host_replicated(params)
+            if not is_main:
+                return
             data = collate_fn([train_dataset[0]])
             model = MultiModalBartForPreTraining(cfg, params=params)
             logits = model.forward_logits(

@@ -171,6 +171,61 @@ def test_two_process_train_matches_single_process(fixture_dir, tmp_path):
 
 
 @pytest.mark.slow
+def test_two_process_tp_zero1_matches_single(fixture_dir, tmp_path):
+    """The pod topology: TP pairs INSIDE each process, data axis ACROSS the
+    2 processes, ZeRO-1 moments sharded over it — vs the plain 1-process
+    DP-8 run, loss for loss (fp32 config so the only difference is
+    reduction order). Also pins that the portable npz save gathers
+    cross-process-sharded leaves (cli_common.host_replicated) instead of
+    crashing rank 0's np.asarray, and that the run resumes."""
+    cfg = json.load(open(os.path.join(fixture_dir, "config.json")))
+    cfg["dtype"] = "float32"
+    cfg_path = str(tmp_path / "config_f32.json")
+    json.dump(cfg, open(cfg_path, "w"))
+
+    def argv(ckpt_dir, batch, extra):
+        a = _train_argv(fixture_dir, ckpt_dir, batch, extra)
+        a[a.index("--model_config") + 1] = cfg_path
+        return a
+
+    ckpt_tp = str(tmp_path / "tpz1")
+    ckpt_ref = str(tmp_path / "ref")
+    multi = _run_cli("vcg_train.py",
+                     argv(ckpt_tp, 4,
+                          ["--multihost", "--model_parallel", "2",
+                           "--zero1", "--validate_loss"]),
+                     nprocs=2, devices_per_proc=4)
+    single = _run_cli("vcg_train.py",
+                      argv(ckpt_ref, 8, ["--validate_loss"]),
+                      nprocs=1, devices_per_proc=8)
+
+    lm = [float(x) for x in TRAIN_LOSS_RE.findall(multi[0])]
+    ls = [float(x) for x in TRAIN_LOSS_RE.findall(single[0])]
+    assert len(lm) >= 2, multi[0]
+    assert len(lm) == len(ls)
+    np.testing.assert_allclose(lm, ls, rtol=2e-3, atol=2e-3)
+    vm = [float(x) for x in VAL_LOSS_RE.findall(multi[0])]
+    vs = [float(x) for x in VAL_LOSS_RE.findall(single[0])]
+    assert vm and vs
+    np.testing.assert_allclose(vm, vs, rtol=2e-3, atol=2e-3)
+
+    # rank 0 wrote the portable npz despite TP params + ZeRO-1 moments
+    # being sharded across BOTH processes
+    model0 = os.path.join(_run_dir(ckpt_tp), "model0")
+    assert os.path.exists(os.path.join(model0, "params.npz"))
+    assert os.path.exists(os.path.join(model0, "training_data.npz"))
+
+    resumed = _run_cli(
+        "vcg_train.py",
+        argv(ckpt_tp, 4,
+             ["--multihost", "--model_parallel", "2", "--zero1",
+              "--continue_training", "--checkpoint", model0,
+              "--epochs", "2"]),
+        nprocs=2, devices_per_proc=4)
+    assert "Epoch 2" in resumed[0]
+
+
+@pytest.mark.slow
 def test_two_process_sharded_checkpoint_roundtrip(fixture_dir, tmp_path):
     """orbax sharded save under 2 real processes, multihost resume from it,
     then restore into THIS single process (different topology: 8 local

@@ -191,12 +191,17 @@ def main(args):
                                 'step{}'.format(int(state.step)))
             save_train_checkpoint(path, cfg, state, epoch, args)
             logger.info('Saved mid-epoch checkpoint at "{}"'.format(path))
-        if is_main and (step + 1) % 100 == 0:
+        if (step + 1) % 100 == 0:
             params = state.params
             if jax.process_count() > 1 or pp_active:
                 # generate() is a process-local jit; pull a host copy of the
-                # (replicated or stage-sharded) global params for the decode
-                params = jax.tree.map(np.asarray, params)
+                # (replicated, stage- or TP-sharded) global params for the
+                # decode — a collective gather when shards span processes,
+                # so EVERY rank joins before the is_main gate below
+                from kmbart_tpu.cli_common import host_replicated
+                params = host_replicated(params)
+            if not is_main:
+                return
             inputs = collate_fn([train_dataset[0]])
             out = generate(params, cfg,
                            {'input_ids': inputs['input_ids'],
@@ -228,14 +233,19 @@ def main(args):
             validate_fine_tune_loss(epoch, state.params, eval_step, val_loader,
                                     logger=logger, tb_writer=tb_writer,
                                     batch_sharding=batch_sharding)
-        if args.validate_score and is_main:
+        if args.validate_score:
             # decode is process-local; run it on process 0 with host params
+            # (the gather is a collective when shards span processes, so it
+            # runs on every rank; only the scoring itself is rank-0)
             score_params = state.params
             if jax.process_count() > 1 or pp_active:
-                score_params = jax.tree.map(np.asarray, state.params)
-            validate_generation_score(epoch, score_params, cfg, gen_loader,
-                                      val_ref, tokenizer, args, logger=logger,
-                                      tb_writer=tb_writer)
+                from kmbart_tpu.cli_common import host_replicated
+                score_params = host_replicated(state.params)
+            if is_main:
+                validate_generation_score(epoch, score_params, cfg,
+                                          gen_loader, val_ref, tokenizer,
+                                          args, logger=logger,
+                                          tb_writer=tb_writer)
 
         current = os.path.join(checkpoint_path, 'model{}'.format(epoch))
         save_train_checkpoint(current, cfg, state, epoch, args)
