@@ -226,6 +226,62 @@ def test_two_process_tp_zero1_matches_single(fixture_dir, tmp_path):
 
 
 @pytest.mark.slow
+def test_two_process_pipeline_matches_single(fixture_dir, tmp_path):
+    """GPipe pipeline parallelism under 2 REAL processes: the data axis
+    spans the processes (4 shards over 2x4 devices), the 2-stage ppermute
+    ring runs within each, and the cross-process gradient psum happens
+    INSIDE the shard_map pipeline backward — a path no single-process test
+    can reach. fp32 so the pipelined loss is exactly the sequential loss
+    (parallel/pp.py invariant) and the only cross-topology difference vs
+    the plain 1-process DP-8 run is reduction order. Also pins the npz
+    write + --continue_training resume through the pipelined train step."""
+    cfg = json.load(open(os.path.join(fixture_dir, "config.json")))
+    cfg["dtype"] = "float32"
+    cfg_path = str(tmp_path / "config_f32.json")
+    json.dump(cfg, open(cfg_path, "w"))
+
+    def argv(ckpt_dir, batch, extra):
+        a = _train_argv(fixture_dir, ckpt_dir, batch, extra)
+        a[a.index("--model_config") + 1] = cfg_path
+        return a
+
+    ckpt_pp = str(tmp_path / "pp")
+    ckpt_ref = str(tmp_path / "ref")
+    multi = _run_cli("vcg_train.py",
+                     argv(ckpt_pp, 4,
+                          ["--multihost", "--pipeline_stages", "2",
+                           "--pipeline_microbatches", "2",
+                           "--validate_loss"]),
+                     nprocs=2, devices_per_proc=4)
+    single = _run_cli("vcg_train.py",
+                      argv(ckpt_ref, 8, ["--validate_loss"]),
+                      nprocs=1, devices_per_proc=8)
+
+    lm = [float(x) for x in TRAIN_LOSS_RE.findall(multi[0])]
+    ls = [float(x) for x in TRAIN_LOSS_RE.findall(single[0])]
+    assert len(lm) >= 2, multi[0]
+    assert len(lm) == len(ls)
+    np.testing.assert_allclose(lm, ls, rtol=2e-3, atol=2e-3)
+    vm = [float(x) for x in VAL_LOSS_RE.findall(multi[0])]
+    vs = [float(x) for x in VAL_LOSS_RE.findall(single[0])]
+    assert vm and vs
+    np.testing.assert_allclose(vm, vs, rtol=2e-3, atol=2e-3)
+
+    model0 = os.path.join(_run_dir(ckpt_pp), "model0")
+    assert os.path.exists(os.path.join(model0, "params.npz"))
+
+    resumed = _run_cli(
+        "vcg_train.py",
+        argv(ckpt_pp, 4,
+             ["--multihost", "--pipeline_stages", "2",
+              "--pipeline_microbatches", "2",
+              "--continue_training", "--checkpoint", model0,
+              "--epochs", "2"]),
+        nprocs=2, devices_per_proc=4)
+    assert "Epoch 2" in resumed[0]
+
+
+@pytest.mark.slow
 def test_two_process_sharded_checkpoint_roundtrip(fixture_dir, tmp_path):
     """orbax sharded save under 2 real processes, multihost resume from it,
     then restore into THIS single process (different topology: 8 local
