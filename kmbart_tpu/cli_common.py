@@ -65,6 +65,13 @@ def add_hardware_args(parser):
                              'optimizer memory) over the data axis instead '
                              'of replicating them; params/grads stay plain '
                              'DP (parallel/tp.py zero1_moment_specs)')
+    parser.add_argument('--pipeline_span_processes', action='store_true',
+                        help='with --pipeline_stages>1 and --multihost: lay '
+                             'the stage axis ACROSS processes (each process '
+                             'hosts a contiguous stage block, ppermute ring '
+                             'hops cross the host link — the DCN-pipeline '
+                             'layout). Processes sharing data shards load '
+                             'identical batches automatically.')
     parser.add_argument('--pipeline_microbatches', default=0, type=int,
                         help='microbatches per pipeline (0 = stage count). '
                              'The per-data-shard batch must be divisible by '
@@ -139,15 +146,31 @@ def sync_timestamp(timestamp):
 def local_batch_divisor(mesh):
     """Per-process batches must divide the data-mesh shards THIS process
     feeds (a global batch is assembled from per-process slices via
-    jax.make_array_from_process_local_data)."""
+    jax.make_array_from_process_local_data). Feed groups, not raw process
+    count: under ``--pipeline_span_processes`` several processes cover the
+    same data shards and each loads the full group batch."""
     if mesh is None:
         return 1
+    from kmbart_tpu.parallel.mesh import data_feed_layout
     n_data = mesh.shape['data']
-    procs = jax.process_count()
-    if n_data % procs:
+    n_groups, _ = data_feed_layout(mesh)
+    if n_data % n_groups:
         raise ValueError(
-            f'data-mesh size {n_data} not divisible by {procs} processes')
-    return n_data // procs
+            f'data-mesh size {n_data} not divisible by {n_groups} '
+            f'process feed groups')
+    return n_data // n_groups
+
+
+def data_feed(mesh):
+    """(num_replicas, rank) for ShardedSampler: which slice of the global
+    index stream THIS process loads. Identical to
+    (process_count, process_index) except when several processes feed the
+    same data shards (stage-spanning pipelines) — then each feed group
+    loads one slice and every process in it loads the same rows."""
+    if mesh is None or jax.process_count() == 1:
+        return jax.process_count(), jax.process_index()
+    from kmbart_tpu.parallel.mesh import data_feed_layout
+    return data_feed_layout(mesh)
 
 
 def apply_dropout_overrides(cfg, args):
@@ -282,7 +305,9 @@ def make_mesh_from_args(args):
         # --model_parallel composes: 3-D data x stage x model mesh with
         # Megatron-TP inside each pipeline stage (parallel/pp.py)
         from kmbart_tpu.parallel.pp import make_pp_mesh
-        return make_pp_mesh(pp_stages, model_parallel=mp)
+        return make_pp_mesh(
+            pp_stages, model_parallel=mp,
+            span_processes=getattr(args, 'pipeline_span_processes', False))
     if n % mp:
         raise ValueError(f'{n} devices not divisible by model_parallel={mp}')
     return make_mesh(model_parallel=mp)

@@ -32,6 +32,38 @@ def replicated(mesh):
     return NamedSharding(mesh, P())
 
 
+def data_feed_layout(mesh):
+    """(num_feed_groups, group_rank) for per-process data loading.
+
+    Processes whose local devices cover the SAME set of ``data``-axis
+    coordinates form one feed group: they must load identical batches
+    (their devices hold the same data shards, replicated over the other
+    mesh axes — e.g. a pipeline whose stage axis spans processes). With
+    the standard layouts (data axis blocked over processes) this reduces
+    to (process_count, process_index). Groups must cover disjoint,
+    equal-size coordinate sets — anything else is an invalid feed layout.
+    """
+    devs = np.asarray(mesh.devices)
+    n_data = devs.shape[0]
+    per_coord = devs.reshape(n_data, -1)
+    pids = sorted({d.process_index for d in devs.flat})
+    coord_sets = {}
+    for p in pids:
+        coords = frozenset(
+            i for i in range(n_data)
+            if any(d.process_index == p for d in per_coord[i]))
+        coord_sets[p] = coords
+    groups = sorted({c for c in coord_sets.values()}, key=min)
+    sizes = {len(g) for g in groups}
+    covered = set().union(*groups)
+    if len(sizes) != 1 or len(covered) != n_data or \
+            sum(len(g) for g in groups) != n_data:
+        raise ValueError(
+            f"process device sets do not tile the data axis: {groups}")
+    me = coord_sets[jax.process_index()]
+    return len(groups), groups.index(me)
+
+
 def batch_sharding(mesh):
     """Shard the leading (batch) axis over 'data'."""
     return NamedSharding(mesh, P("data"))

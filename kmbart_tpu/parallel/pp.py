@@ -58,7 +58,8 @@ def make_stage_mesh(n_stages, devices=None):
     return Mesh(np.asarray(devices[:n_stages]), ("stage",))
 
 
-def make_pp_mesh(n_stages, devices=None, model_parallel=1):
+def make_pp_mesh(n_stages, devices=None, model_parallel=1,
+                 span_processes=False):
     """2-D ``data x stage`` mesh over ALL devices: each data replica runs
     its own n_stages-deep pipeline (stage innermost, so ring hops ride
     neighbouring ICI links — the same invariant make_mesh keeps for TP).
@@ -66,10 +67,34 @@ def make_pp_mesh(n_stages, devices=None, model_parallel=1):
     ``model_parallel > 1`` makes it the full 3-D ``data x stage x model``
     mesh: Megatron-TP *within* each pipeline stage, the TP axis innermost
     so its (per-layer, frequent) all-reduces ride the fastest ICI links
-    while the (per-microbatch, rarer) stage hops take the next dimension."""
+    while the (per-microbatch, rarer) stage hops take the next dimension.
+
+    ``span_processes``: lay the STAGE axis across process boundaries —
+    each process hosts one contiguous block of stages and the ppermute
+    ring hops cross the host interconnect (the DCN-pipeline layout: stage
+    traffic is per-microbatch activations, the cheapest thing to put on
+    the slow links, exactly why GPipe-over-hosts is the standard pod
+    recipe). Default keeps rings inside a process/host. Requires the
+    process count and stage count to divide one another."""
     if devices is None:
         devices = jax.devices()
     n = len(devices)
+    if n % n_stages:
+        raise ValueError(f"{n} devices not divisible by stages={n_stages}")
+    if span_processes:
+        grid2 = _span_process_grid(devices, n_stages)  # [n/S, S]
+        if model_parallel > 1:
+            if (n // n_stages) % model_parallel:
+                raise ValueError(
+                    f"{n} devices not divisible by stages={n_stages} x "
+                    f"model_parallel={model_parallel}")
+            # split each stage column's replica dim into data x model
+            # (TP groups = consecutive devices within the stage block)
+            grid = grid2.reshape(n // (n_stages * model_parallel),
+                                 model_parallel,
+                                 n_stages).transpose(0, 2, 1)
+            return Mesh(grid, ("data", "stage", "model"))
+        return Mesh(grid2, ("data", "stage"))
     if model_parallel > 1:
         if n % (n_stages * model_parallel):
             raise ValueError(
@@ -81,6 +106,44 @@ def make_pp_mesh(n_stages, devices=None, model_parallel=1):
     from kmbart_tpu.parallel.mesh import make_mesh
     return make_mesh(devices=devices, model_parallel=n_stages,
                      axis_names=("data", "stage"))
+
+
+def _span_process_grid(devices, n_stages):
+    """[n/S, S] device grid whose stage axis crosses process boundaries:
+    stage j's column holds the devices of process block j (P >= S) or the
+    j-th slice of its process's local devices (S > P)."""
+    procs = sorted({d.process_index for d in devices})
+    P = len(procs)
+    by_proc = {p: [d for d in devices if d.process_index == p]
+               for p in procs}
+    local = len(devices) // P
+    if any(len(v) != local for v in by_proc.values()):
+        raise ValueError("span_processes needs equal devices per process")
+    cols = []
+    if P % n_stages == 0:
+        pps = P // n_stages      # processes per stage
+        for j in range(n_stages):
+            cols.append([d for p in procs[j * pps:(j + 1) * pps]
+                         for d in by_proc[p]])
+    elif n_stages % P == 0:
+        spp = n_stages // P      # stages per process
+        if local % spp:
+            raise ValueError(
+                f"{local} local devices not divisible by {spp} "
+                f"stages per process")
+        per = local // spp
+        for j in range(n_stages):
+            p = procs[j // spp]
+            k = j % spp
+            cols.append(by_proc[p][k * per:(k + 1) * per])
+    else:
+        raise ValueError(
+            f"span_processes: {P} processes and {n_stages} stages must "
+            f"divide one another")
+    grid = np.empty((len(devices) // n_stages, n_stages), object)
+    for j, col in enumerate(cols):
+        grid[:, j] = np.asarray(col, object)
+    return grid
 
 
 def stage_param_specs(params, model_parallel=False):

@@ -139,8 +139,11 @@ def main(args):
         # every data shard must further split into n_micro pipeline
         # microbatches, so partial batches trim to this multiple
         n_data *= n_micro
-    from kmbart_tpu.cli_common import validate_batch_layout
+    from kmbart_tpu.cli_common import data_feed, validate_batch_layout
     validate_batch_layout(args, n_data)
+    # sampler striding by FEED GROUP (see vcg_train.py): stage-spanning
+    # pipelines have several processes loading identical batches
+    feed_replicas, feed_rank = data_feed(mesh)
     batch_sharding = None
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
@@ -165,8 +168,8 @@ def main(args):
     train_loader = DataLoader(
         train_dataset, batch_size=args.batch_size, collate_fn=collate_fn,
         sampler=ShardedSampler(len(train_dataset),
-                               num_replicas=jax.process_count(),
-                               rank=jax.process_index(),
+                               num_replicas=feed_replicas,
+                               rank=feed_rank,
                                shuffle=True, seed=args.seed),
         num_workers=args.num_workers, drop_last=True, batch_divisor=n_data)
 

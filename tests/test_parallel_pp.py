@@ -360,3 +360,39 @@ def test_pipelined_dropout_trains(tiny_cfg, np_rng):
             params, batch, jax.random.PRNGKey(3))
     assert np.isfinite(float(loss))
     assert np.isfinite(np.asarray(aux["logits"])).all()
+
+
+def test_span_process_mesh_layout():
+    """span_processes mesh shape/axes + single-process degenerate layout
+    (stages split the local devices), and data_feed_layout's feed groups."""
+    from kmbart_tpu.parallel.mesh import data_feed_layout
+
+    mesh = pp.make_pp_mesh(2, span_processes=True)
+    assert mesh.axis_names == ("data", "stage")
+    assert dict(mesh.shape) == {"data": 4, "stage": 2}
+    # single process: every data coordinate belongs to the one feed group
+    n_groups, rank = data_feed_layout(mesh)
+    assert (n_groups, rank) == (1, 0)
+
+    mesh3 = pp.make_pp_mesh(2, model_parallel=2, span_processes=True)
+    assert dict(mesh3.shape) == {"data": 2, "stage": 2, "model": 2}
+    # all 8 devices used exactly once
+    ids = sorted(d.id for d in np.asarray(mesh3.devices).flat)
+    assert ids == sorted(d.id for d in jax.devices())
+
+
+def test_span_process_pipeline_loss_exact(tiny_cfg, np_rng):
+    """The pipelined loss on a span_processes mesh matches the sequential
+    loss to cross-device reduction order (the reordered grid changes which
+    device holds which data shard, so the final psum's contribution order
+    differs from the in-order mesh — observed 1.4e-6 on the 8-CPU mesh;
+    the in-order-mesh test above stays exact)."""
+    cfg = tiny_cfg.replace(dtype="float32")
+    params = init_conditional_params(jax.random.PRNGKey(0), cfg)
+    batch = _batch(cfg, np_rng)
+    mesh = pp.make_pp_mesh(2, span_processes=True)
+    ref, _ = jax.jit(lambda p, b: conditional_loss(p, cfg, b))(params, batch)
+    got, _ = jax.jit(lambda p, b: pp.pipelined_conditional_loss(
+        p, cfg, b, mesh, n_micro=2))(params, batch)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
