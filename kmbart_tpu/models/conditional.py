@@ -9,7 +9,7 @@ import jax.numpy as jnp
 
 from kmbart_tpu.config import MultiModalBartConfig
 from kmbart_tpu.models import bart
-from kmbart_tpu.models.heads import cross_entropy_ignore_index
+from kmbart_tpu.models.heads import lm_cross_entropy
 
 
 def init_conditional_params(rng, cfg: MultiModalBartConfig) -> dict:
@@ -33,10 +33,14 @@ def conditional_loss(params, cfg: MultiModalBartConfig, batch, *, train=False,
         decoder_input_ids=batch["decoder_input_ids"],
         decoder_attention_mask=batch.get("decoder_attention_mask"),
         train=train, rng=rng)
+    loss, _ = lm_cross_entropy(params["model"], cfg, hidden,
+                               params["final_logits_bias"], batch["labels"])
+    # aux logits: dead-coded under jit when the caller drops them (the
+    # train step does); in the composite branch of lm_cross_entropy the
+    # identical projection CSEs with this one
     logits = bart.lm_logits(params["model"], cfg, hidden,
                             params["final_logits_bias"],
                             logits_dtype=jnp.dtype(cfg.dtype))
-    loss, _ = cross_entropy_ignore_index(logits, batch["labels"])
     return loss, {"logits": logits}
 
 

@@ -28,8 +28,8 @@ from kmbart_tpu.config import MultiModalBartConfig
 from kmbart_tpu.models import bart
 from kmbart_tpu.models.heads import (
     classification_head,
-    cross_entropy_ignore_index,
     init_classification_head,
+    lm_cross_entropy,
     masked_cross_entropy,
     masked_kl_div_batchmean,
 )
@@ -134,7 +134,8 @@ def pretraining_loss(params, cfg: MultiModalBartConfig, batch, *, train=False,
     if "labels" in batch:
         labels = jnp.where(batch["labels"] == cfg.cls_token_id, -100,
                            batch["labels"])
-        lm_loss, _ = cross_entropy_ignore_index(logits, labels)
+        lm_loss, _ = lm_cross_entropy(params["model"], cfg, hidden,
+                                      params["final_logits_bias"], labels)
         lm_loss = lm_loss * cfg.lm_loss_factor
         losses["lm_loss"] = lm_loss
         total = total + lm_loss
