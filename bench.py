@@ -111,6 +111,174 @@ def bench_decode():
     return best
 
 
+SAMPLING_BATCH = 96  # round-4 peak for the beam-sampling path (BASELINE.md)
+
+
+def bench_sampling():
+    """Beam-5 SAMPLING (do_sample, top-k 50) throughput at the round-4
+    peak batch — the round-3 verdict's target path (424-434 sent/s in
+    round 4); tracked so the invariant-walk win can't silently regress."""
+    jax = _setup_jax()
+    from kmbart_tpu.config import bart_base_config
+    from kmbart_tpu.generation.api import generate
+    from kmbart_tpu.models.conditional import init_conditional_params
+
+    cfg = bart_base_config()
+    params = jax.device_put(init_conditional_params(jax.random.PRNGKey(0), cfg))
+    rng = np.random.default_rng(0)
+    batch = _decode_batch(jax, cfg, SAMPLING_BATCH, rng)
+    kwargs = dict(max_length=MAX_LEN, num_beams=BEAMS, do_sample=True,
+                  top_k=50, early_stopping=True,
+                  rng=jax.device_put(jax.random.PRNGKey(0)))
+    out = generate(params, cfg, batch, **kwargs)  # compile + warmup
+    n_iters = 5
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = generate(params, cfg, batch, **kwargs)
+    dt = time.perf_counter() - t0
+    assert np.asarray(out).shape[0] == SAMPLING_BATCH
+    return SAMPLING_BATCH * n_iters / dt
+
+
+LARGE_MICRO_BATCH, LARGE_ACCUM = 32, 4   # BASELINE.md "BART-large recipe"
+LARGE_DECODE_BATCH = 48
+
+
+def bench_large():
+    """BART-large tracked scale point (round-4 verdict #2): train
+    samples/s + MFU at the round-3 recipe (micro-batch 32 x grad-accum 4)
+    and beam-5 decode sent/s at batch 48. Returns a dict of fields."""
+    jax = _setup_jax()
+    from kmbart_tpu.config import bart_large_config
+    from kmbart_tpu.generation.api import generate
+    from kmbart_tpu.models.conditional import (
+        conditional_loss, init_conditional_params)
+    from kmbart_tpu.parallel.train_step import build_train_step
+    from kmbart_tpu.training.adamw import adamw
+    from kmbart_tpu.training.state import TrainState
+
+    cfg = bart_large_config()
+    rng = np.random.default_rng(0)
+    out = {}
+
+    # --- train at the accumulation recipe ---------------------------------
+    params = init_conditional_params(jax.random.PRNGKey(0), cfg)
+
+    def loss_fn(p, b, r):
+        loss, _ = conditional_loss(p, cfg, b, train=True, rng=r)
+        return loss, {}
+
+    B = LARGE_MICRO_BATCH * LARGE_ACCUM
+    step = build_train_step(loss_fn, adamw(lr=1e-5), donate=True,
+                            grad_accum_steps=LARGE_ACCUM)
+    ids = rng.integers(4, 50000, (B, ENC_LEN)).astype(np.int32)
+    ids[:, 1:31] = cfg.img_feat_id
+    dec = rng.integers(4, 50000, (B, DEC_LEN)).astype(np.int32)
+    batch = jax.device_put({
+        "input_ids": ids,
+        "attention_mask": np.ones((B, ENC_LEN), np.int32),
+        "image_features": rng.normal(
+            size=(B, cfg.max_img_num,
+                  cfg.image_feature_size)).astype(np.float32),
+        "decoder_input_ids": dec,
+        "decoder_attention_mask": np.ones((B, DEC_LEN), np.int32),
+        "labels": dec.copy(),
+    })
+    key = jax.random.PRNGKey(0)
+    state = TrainState.create(params)
+    state, m = step(state, batch, key)
+    float(m["loss"])
+    n_iters = 12
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        state, m = step(state, batch, key)
+    float(m["loss"])
+    dt = time.perf_counter() - t0
+    tput = B * n_iters / dt
+    out["large_train_samples_per_sec"] = round(tput, 2)
+    out["large_train_mfu"] = round(
+        tput * train_flops_per_sample(cfg) / V5E_PEAK_FLOPS, 4)
+    del state, batch
+
+    # --- beam-5 decode ----------------------------------------------------
+    params = jax.device_put(params)
+    dbatch = _decode_batch(jax, cfg, LARGE_DECODE_BATCH, rng)
+    kwargs = dict(max_length=MAX_LEN, num_beams=BEAMS, early_stopping=True,
+                  rng=jax.device_put(jax.random.PRNGKey(0)))
+    generate(params, cfg, dbatch, **kwargs)  # compile + warmup
+    n_iters = 5
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        generate(params, cfg, dbatch, **kwargs)
+    dt = time.perf_counter() - t0
+    out["large_decode_sent_per_sec"] = round(
+        LARGE_DECODE_BATCH * n_iters / dt, 2)
+    return out
+
+
+HOST_LOADER_ROWS = 1024
+HOST_LOADER_BATCH = 128
+
+
+def bench_host_loader():
+    """Host input-pipeline throughput (round-4 verdict #5): packed
+    feature cache + 2 shared-memory process workers over a synthetic
+    VCG-shaped split at full dims (2048+4-d features, 1601-class soft
+    labels), the round-4 probe protocol. Returns samples/sec."""
+    import pickle
+    import tempfile
+
+    from kmbart_tpu.data.bpe import build_toy_assets
+    from kmbart_tpu.data.collation import Collator
+    from kmbart_tpu.data.datasets import VCGDataset
+    from kmbart_tpu.data.feature_cache import pack_split
+    from kmbart_tpu.data.loader import DataLoader
+    from kmbart_tpu.data.tokenization import ConditionTokenizer
+
+    rng = np.random.default_rng(0)
+    with tempfile.TemporaryDirectory() as d:
+        build_toy_assets(d)
+        tok = ConditionTokenizer(assets_dir=d)
+        split_dir = os.path.join(d, "train")
+        os.makedirs(split_dir)
+        entries = []
+        for i in range(HOST_LOADER_ROWS):
+            n_box = int(rng.integers(10, 31))
+            with open(os.path.join(split_dir, f"img{i}.pkl"), "wb") as f:
+                pickle.dump({
+                    "image_features": rng.normal(
+                        size=(n_box, 2048)).astype(np.float32),
+                    "boxes": rng.random((n_box, 4)).astype(np.float32),
+                    "mrm_labels": rng.random((n_box, 1601)
+                                             ).astype(np.float32),
+                }, f)
+            entries.append({"img_id": f"img{i}", "task_type": "intent",
+                            "event": "1 sits at a table reading the menu",
+                            "labels": "the person orders some dinner",
+                            "index": i})
+        with open(os.path.join(d, "train.json"), "w") as f:
+            json.dump(entries, f)
+        pack_split(d, "train")
+        ds = VCGDataset(d, split="train")
+        col = Collator(tok, has_label=True, mlm_enabled=True,
+                       mrm_enabled=True, ap_enabled=True, rp_enabled=True,
+                       mlm_probability=0.3, mrm_probability=0.3)
+        loader = DataLoader(ds, batch_size=HOST_LOADER_BATCH,
+                            collate_fn=col, num_workers=2,
+                            use_processes=True, shm_transport=True)
+        try:
+            for _ in loader:  # warm epoch (pool spawn + page cache)
+                pass
+            t0 = time.perf_counter()
+            n = 0
+            for batch in loader:
+                n += len(batch["input_ids"])
+            dt = time.perf_counter() - t0
+        finally:
+            loader.close()
+    return n / dt
+
+
 def train_flops_per_sample(cfg, enc_len=ENC_LEN, dec_len=DEC_LEN):
     """Model FLOPs of one fwd+bwd sample: 6 x (matmul params x tokens they
     see) + attention score/value FLOPs. Embedding gathers excluded."""
@@ -264,13 +432,19 @@ def bench_pretrain():
             tput * train_flops_per_sample(cfg) / V5E_PEAK_FLOPS)
 
 
-def bench_serving(target_rate, secs=12.0):
-    """GenerationEngine under open-loop Poisson load (text-only requests:
+def bench_serving(target_rate, secs=12.0, engine="static",
+                  pool_size=160, chunk_steps=4):
+    """Serving engine under open-loop Poisson load (text-only requests:
     the per-request 246 KB ROI-feature payload is tunnel-bound in THIS
     environment — see BASELINE.md round-4 serving section — and would
     measure the relay, not the engine). Offered rate is set just under
     the offline decode ceiling; reports sustained completion rate and
-    request latency percentiles."""
+    request latency percentiles.
+
+    ``engine``: "static" = bucket-coalescing GenerationEngine;
+    "continuous" = slot-pool ContinuousGenerationEngine
+    (serving/continuous.py) — requests admit into finished rows of the
+    in-flight pool at chunk granularity."""
     import threading
     jax = _setup_jax()
     from kmbart_tpu.config import bart_base_config
@@ -279,18 +453,31 @@ def bench_serving(target_rate, secs=12.0):
 
     cfg = bart_base_config()
     params = jax.device_put(init_conditional_params(jax.random.PRNGKey(0), cfg))
-    buckets = (112, 160)  # at 0.85x-ceiling offered load the window
-    # coalescing almost always lands on these two; smaller buckets would
-    # each cost a compile-cache load in the bench budget
-    eng = GenerationEngine(params, cfg, max_batch_size=buckets[-1],
-                           encoder_seq_len=ENC_LEN, batch_buckets=buckets,
-                           max_wait_ms=5.0, num_beams=BEAMS,
-                           max_length=MAX_LEN, early_stopping=True)
     rng = np.random.default_rng(0)
+    if engine == "continuous":
+        from kmbart_tpu.serving.continuous import ContinuousGenerationEngine
+        eng = ContinuousGenerationEngine(
+            params, cfg, pool_size=pool_size, encoder_seq_len=ENC_LEN,
+            chunk_steps=chunk_steps, num_beams=BEAMS, max_length=MAX_LEN,
+            early_stopping=True)
+    else:
+        buckets = (112, 160)  # at 0.85x-ceiling offered load the window
+        # coalescing almost always lands on these two; smaller buckets
+        # would each cost a compile-cache load in the bench budget
+        eng = GenerationEngine(params, cfg, max_batch_size=buckets[-1],
+                               encoder_seq_len=ENC_LEN,
+                               batch_buckets=buckets,
+                               max_wait_ms=5.0, num_beams=BEAMS,
+                               max_length=MAX_LEN, early_stopping=True)
     try:
-        for b in buckets:  # pre-compile every bucket
+        if engine == "continuous":
+            # pre-compile admit + chunk + harvest
             eng.submit(rng.integers(
-                4, 50000, (b, ENC_LEN)).astype(np.int32)).result()
+                4, 50000, (1, ENC_LEN)).astype(np.int32)).result()
+        else:
+            for b in (112, 160):  # pre-compile every bucket
+                eng.submit(rng.integers(
+                    4, 50000, (b, ENC_LEN)).astype(np.int32)).result()
         ids_pool = rng.integers(4, 50000, (256, ENC_LEN)).astype(np.int32)
         lat, lock = [], threading.Lock()
         gaps = rng.exponential(1.0 / target_rate,
@@ -327,12 +514,19 @@ def bench_serving(target_rate, secs=12.0):
 
 def bench_torch_cpu():
     """transformers BART beam search, torch CPU — the only runnable torch
-    stand-in on this machine (reported as vs_torch_cpu, NOT the anchor)."""
+    stand-in on this machine (reported as vs_torch_cpu, NOT the anchor).
+
+    The denominator shares this contention-noisy 1-CPU host (round-4 runs
+    swung 322 -> 3368 -> 583 on the ratio), so per the round-4 verdict #8
+    the threads are pinned and the MEDIAN of 3 interleaved repetitions is
+    reported, each rep printed to stderr for drift attribution."""
     try:
         import torch
         import transformers
     except Exception:
         return None
+    torch.set_num_threads(1)
+    torch.set_num_interop_threads(1)
     cfg = transformers.BartConfig(
         vocab_size=50320, d_model=768, encoder_layers=6, decoder_layers=6,
         encoder_attention_heads=12, decoder_attention_heads=12,
@@ -341,17 +535,20 @@ def bench_torch_cpu():
         eos_token_id=2, decoder_start_token_id=0)
     model = transformers.BartForConditionalGeneration(cfg).eval()
     rng = np.random.default_rng(0)
-    B = 32
+    B = 16
     ids = torch.tensor(rng.integers(4, 50000, (B, ENC_LEN)), dtype=torch.long)
     am = torch.ones_like(ids)
+    reps = []
     with torch.no_grad():
         model.generate(input_ids=ids[:4], attention_mask=am[:4],
                        num_beams=BEAMS, max_length=MAX_LEN)  # warmup
-        t0 = time.perf_counter()
-        model.generate(input_ids=ids, attention_mask=am,
-                       num_beams=BEAMS, max_length=MAX_LEN)
-        dt = time.perf_counter() - t0
-    return B / dt
+        for _ in range(3):
+            t0 = time.perf_counter()
+            model.generate(input_ids=ids, attention_mask=am,
+                           num_beams=BEAMS, max_length=MAX_LEN)
+            reps.append(B / (time.perf_counter() - t0))
+    print(f"# torch_cpu reps: {[round(r, 2) for r in reps]}", file=sys.stderr)
+    return float(np.median(reps))
 
 
 def _phase(name, fn, *a, **kw):
@@ -372,9 +569,12 @@ def _phase(name, fn, *a, **kw):
 def main():
     tput, best_batch, step_ms = _phase("decode", bench_decode) or \
         sys.exit("bench_decode failed")
+    sampling = _phase("sampling", bench_sampling)
     serving = _phase("serving", bench_serving, target_rate=0.85 * tput)
     train = _phase("train", bench_train)
     pretrain = _phase("pretrain", bench_pretrain)
+    large = _phase("large", bench_large)
+    host_loader = _phase("host_loader", bench_host_loader)
     torch_cpu = None
     if os.environ.get("KMBART_BENCH_SKIP_TORCH") != "1":
         torch_cpu = _phase("torch_cpu", bench_torch_cpu)
@@ -409,8 +609,15 @@ def main():
         record["serving_sustained_per_sec"] = serving["sustained"]
         record["serving_p50_ms"] = serving["p50_ms"]
         record["serving_p99_ms"] = serving["p99_ms"]
+    if sampling:
+        record["sampling_sent_per_sec"] = round(sampling, 2)
+    if large:
+        record.update(large)
+    if host_loader:
+        record["host_samples_per_sec"] = round(host_loader, 2)
     if torch_cpu:
         record["vs_torch_cpu"] = round(tput / torch_cpu, 2)
+        record["torch_cpu_sent_per_sec"] = round(torch_cpu, 2)
     print(json.dumps(record))
 
 

@@ -16,12 +16,23 @@ import bench
 
 
 def main():
-    rates = [float(a) for a in sys.argv[1:]] or [100, 200, 400, 550, 700]
-    print(f"{'offered/s':>10} {'sustained/s':>12} {'p50_ms':>8} {'p99_ms':>8}")
-    for r in rates:
-        res = bench.bench_serving(target_rate=r)
-        print(f"{res['offered']:>10} {res['sustained']:>12} "
-              f"{res['p50_ms']:>8} {res['p99_ms']:>8}", flush=True)
+    args = [a for a in sys.argv[1:]]
+    engines = ["static"]
+    if "--continuous" in args:
+        args.remove("--continuous")
+        engines = ["continuous"]
+    if "--ab" in args:
+        args.remove("--ab")
+        engines = ["static", "continuous"]
+    rates = [float(a) for a in args] or [100, 200, 400, 550, 700]
+    for engine in engines:
+        print(f"== {engine} ==")
+        print(f"{'offered/s':>10} {'sustained/s':>12} "
+              f"{'p50_ms':>8} {'p99_ms':>8}")
+        for r in rates:
+            res = bench.bench_serving(target_rate=r, engine=engine)
+            print(f"{res['offered']:>10} {res['sustained']:>12} "
+                  f"{res['p50_ms']:>8} {res['p99_ms']:>8}", flush=True)
 
 
 if __name__ == "__main__":

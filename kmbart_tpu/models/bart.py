@@ -349,8 +349,14 @@ def _decoder_embed(params, cfg, decoder_input_ids, pos_start, train, rng):
     T = decoder_input_ids.shape[1]
     x = jnp.take(params["shared"], decoder_input_ids, axis=0) * embed_scale
     offset = 0 if cfg.static_position_embeddings else cfg.extra_pos_embeddings
-    x = x + _positions(params["decoder"]["embed_positions"], T, offset,
-                       start=pos_start)[None]
+    if getattr(pos_start, "ndim", 0) >= 1:
+        # per-row positions (continuous-batching pool: each slot sits at
+        # its own decode depth); T == 1 incremental step only
+        x = x + jnp.take(params["decoder"]["embed_positions"],
+                         pos_start + offset, axis=0)[:, None, :]
+    else:
+        x = x + _positions(params["decoder"]["embed_positions"], T, offset,
+                           start=pos_start)[None]
     if cfg.normalize_embedding:
         ln = params["decoder"]["layernorm_embedding"]
         x = layer_norm(x, ln["scale"], ln["bias"])
@@ -547,7 +553,7 @@ def init_decode_cache_layers(params, cfg: MultiModalBartConfig, enc_hidden,
 
 def decode_step_stationary(params, cfg: MultiModalBartConfig, token_ids,
                            caches, cache_index, sel, enc_attention_mask=None,
-                           num_beams=1):
+                           num_beams=1, seq_positions=None):
     """One incremental decoder step over a beam-stationary cache.
 
     Beam parent history is resolved *inside* the self-attention
@@ -568,7 +574,9 @@ def decode_step_stationary(params, cfg: MultiModalBartConfig, token_ids,
     B, K, max_len, D = caches[0]["self_k"].shape
     scale = (D // H) ** -0.5
 
-    x, _ = _decoder_embed(params, cfg, token_ids, cache_index, False, None)
+    x, _ = _decoder_embed(params, cfg, token_ids,
+                          cache_index if seq_positions is None
+                          else seq_positions, False, None)
     cross_bias = None if enc_attention_mask is None \
         else padding_bias(enc_attention_mask)
     use_kernel = beam_attention_supported(num_beams, H, D // H, max_len)

@@ -84,6 +84,33 @@ def build_selection_mask(ancestry, num_beams, cache_index, num_heads):
     return sel.reshape(B, K * T, K * num_heads).astype(jnp.bfloat16)
 
 
+def build_selection_mask_ring(ancestry, num_beams, ring_col, valid_counts,
+                              num_heads):
+    """Selection mask for a RING-buffer cache (continuous-batching pool).
+
+    Every slot writes its step K/V at the same cache column
+    ``ring_col = tick % T`` regardless of its own decode depth, so a
+    sample's valid columns are the cyclic window of ``valid_counts[b]``
+    columns ending at ring_col (self-attention doesn't care where keys
+    physically sit — the one-hot mask selects them; column order never
+    enters the math). ancestry entries outside the window are stale and
+    masked off. ``valid_counts`` counts positions INCLUDING this step's
+    write (== cur_len during the step).
+    """
+    BK, T = ancestry.shape
+    K = num_beams
+    B = BK // K
+    anc = ancestry.reshape(B, K, T)
+    j = jnp.arange(K, dtype=ancestry.dtype)
+    sel = anc.transpose(0, 2, 1)[:, None, :, :] == j[None, :, None, None]
+    age = jnp.mod(ring_col - jnp.arange(T), T)              # [T]
+    t_ok = age[None, :] < valid_counts[:, None]             # [B, T]
+    sel = sel & t_ok[:, None, :, None]
+    sel = sel.reshape(B, K * T, K, 1)
+    sel = jnp.broadcast_to(sel, (B, K * T, K, num_heads))
+    return sel.reshape(B, K * T, K * num_heads).astype(jnp.bfloat16)
+
+
 # ---------------------------------------------------------------------------
 # XLA reference (CPU path + oracle)
 # ---------------------------------------------------------------------------

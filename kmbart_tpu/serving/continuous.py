@@ -1,0 +1,523 @@
+"""Slot-pool continuous batching for beam-search serving.
+
+The static engine (serving/engine.py) coalesces requests into a bucket,
+runs the FULL beam program, then resolves — a request arriving 1 ms
+after launch waits the entire previous decode (round-4 BASELINE: p99
+4.9 s at overload). This module keeps ONE fixed-shape pool of B_slots
+in-flight samples and advances it in k-step chunks; finished slots are
+harvested and refilled from the queue at chunk granularity, so admission
+latency is bounded by a chunk (~tens of ms), not a whole decode.
+
+TPU design — everything stays fixed-shape and jitted:
+
+  * Per-slot decode depth. Each slot carries its own ``cur_len``; the
+    decoder position embedding gathers per-row positions
+    (bart._decoder_embed vector path) and forced-BOS/EOS, length
+    penalty, early stopping, and the hypothesis pool all run per-sample
+    (the same vectorised update as generation/beam.py, with the scalar
+    ``cur_len`` promoted to a [B] vector).
+
+  * Ring-buffer KV cache. The beam-stationary cache is written at
+    column ``tick % max_length`` by EVERY slot, every tick — one scalar
+    dynamic_update_slice per layer, exactly like the offline loop
+    (per-row write positions would force a full-cache masked write).
+    Self-attention doesn't care where keys physically sit: the ancestry
+    one-hot (ops/pallas_beam_attention.build_selection_mask_ring) maps
+    each slot's live window of ring columns, and stale columns mask
+    off. A slot decodes at most max_length-1 steps, so its window never
+    wraps onto itself; slots that sit finished are overwritten harmlessly
+    (results live in the token/hypothesis buffers, not the cache).
+
+  * Chunked stepping. ``step_chunk`` runs k ticks in one jitted
+    lax.fori_loop; the host harvests done slots (one small fetch) and
+    admits queued requests (encoder prefill + per-slot cache insert)
+    between chunks.
+
+Supported options: greedy beam search (num_beams > 1, no sampling) with
+inert score postprocessors — the serving default. The static engine
+remains the path for sampling/exotic options.
+
+No reference counterpart (SURVEY.md production-serving mandate);
+decode-step parity target is the same HF 3.0.2 _generate_beam_search
+semantics as generation/beam.py, which the staggered-admission test
+pins output-for-output against ``generate()``.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kmbart_tpu.models import bart
+from kmbart_tpu.generation import logits as lp
+from kmbart_tpu.generation.beam import _merge_pool, NEG_1E9
+from kmbart_tpu.ops.layers import dense
+from kmbart_tpu.ops.pallas_beam_attention import build_selection_mask_ring
+from kmbart_tpu.ops.pallas_vocab_stats import (chunk_stats,
+                                               chunk_stats_reference,
+                                               chunk_stats_supported,
+                                               logsumexp_from_stats)
+from kmbart_tpu.ops.topk import pad_to_chunks, topk_from_chunk_stats
+
+
+def init_pool_state(params, cfg, *, pool_size, num_beams, max_length,
+                    encoder_seq_len):
+    """All-inactive pool state (device-ready pytree)."""
+    B, K, L = pool_size, num_beams, max_length
+    dtype = jnp.dtype(cfg.dtype)
+    D = cfg.d_model
+    layers = tuple({
+        "self_k": jnp.zeros((B, K, L, D), dtype),
+        "self_v": jnp.zeros((B, K, L, D), dtype),
+        "cross_k": jnp.zeros((B, encoder_seq_len, D), dtype),
+        "cross_v": jnp.zeros((B, encoder_seq_len, D), dtype),
+    } for _ in range(cfg.decoder_layers))
+    return {
+        "caches": layers,
+        "enc_mask": jnp.zeros((B, encoder_seq_len), jnp.int32),
+        "tokens": jnp.full((B * K, L), cfg.pad_token_id, jnp.int32),
+        "ancestry": jnp.zeros((B * K, L), jnp.int32),
+        "parent": jnp.arange(B * K, dtype=jnp.int32),
+        "beam_scores": jnp.zeros((B, K), jnp.float32),
+        "hyp_tokens": jnp.full((B, K, L), cfg.pad_token_id, jnp.int32),
+        "hyp_lens": jnp.zeros((B, K), jnp.int32),
+        "hyp_scores": jnp.full((B, K), NEG_1E9, jnp.float32),
+        "hyp_count": jnp.zeros((B,), jnp.int32),
+        "hyp_worst": jnp.full((B,), 1e9, jnp.float32),
+        "cur_len": jnp.zeros((B,), jnp.int32),
+        "done": jnp.ones((B,), bool),
+        "active": jnp.zeros((B,), bool),
+        "tick": jnp.int32(0),
+    }
+
+
+def _hyp(state):
+    return (state["hyp_tokens"], state["hyp_lens"], state["hyp_scores"],
+            state["hyp_count"], state["hyp_worst"])
+
+
+def _set_hyp(state, hyp):
+    (state["hyp_tokens"], state["hyp_lens"], state["hyp_scores"],
+     state["hyp_count"], state["hyp_worst"]) = hyp
+    return state
+
+
+def pool_step(params, cfg, fbias, state, *, num_beams, max_length,
+              length_penalty, early_stopping, eos_token_id, pad_token_id,
+              decoder_start_token_id):
+    """One tick of the pool: generation/beam.py's loop body with the
+    scalar cur_len promoted to per-slot vectors and the ring cache."""
+    K = num_beams
+    BK = state["tokens"].shape[0]
+    B = BK // K
+    L = max_length
+    V = cfg.vocab_size
+    b_idx = jnp.arange(B)
+    H = cfg.decoder_attention_heads
+
+    cur_len = state["cur_len"]                      # [B]
+    running = state["active"] & ~state["done"]      # [B]
+    cur_bk = jnp.repeat(cur_len, K)                 # [BK]
+    col = jnp.mod(state["tick"], L)
+
+    # previous token per row (per-slot depth)
+    prev = jnp.take_along_axis(
+        state["tokens"], jnp.clip(cur_bk - 1, 0, L - 1)[:, None], axis=1)
+
+    # ancestry through the parent permutation, then claim the ring column
+    ancestry = jnp.take(state["ancestry"], state["parent"], axis=0)
+    pos = jnp.arange(L)[None, :]
+    own_slot = (jnp.arange(BK, dtype=jnp.int32) % K)[:, None]
+    ancestry = jnp.where(pos == col, own_slot, ancestry)
+    sel = build_selection_mask_ring(ancestry, K, col, cur_len, H)
+
+    hidden, caches = bart.decode_step_stationary(
+        params, cfg, prev, state["caches"], col, sel, state["enc_mask"],
+        num_beams=K, seq_positions=jnp.clip(cur_bk - 1, 0, L - 1))
+    logits = bart.lm_logits(params, cfg, hidden, fbias)[:, 0, :]
+    logits = lp.maybe_force_bos_eos(logits, cur_bk[:, None], L,
+                                    cfg.bos_token_id, eos_token_id)
+
+    # fast_select on raw logits (inert postprocessors; beam.py:186-204)
+    xr = pad_to_chunks(logits)
+    if chunk_stats_supported(BK):
+        cm, es = chunk_stats(xr)
+    else:
+        cm, es = chunk_stats_reference(xr)
+    lse = logsumexp_from_stats(cm, es)
+    row_vals, row_idx = topk_from_chunk_stats(xr, cm, 2 * K)
+    norm = (row_vals - lse[:, None]) + state["beam_scores"].reshape(BK, 1)
+    merged = norm.reshape(B, K * 2 * K)
+    beam_base = (jnp.arange(K, dtype=jnp.int32) * V)[None, :, None]
+    flat_idx = (row_idx.reshape(B, K, 2 * K) + beam_base).reshape(B, K * 2 * K)
+    cand_scores, cpos = jax.lax.top_k(merged, 2 * K)
+    cand_idx = jnp.take_along_axis(flat_idx, cpos, axis=1)
+
+    cand_beam = cand_idx // V
+    cand_tok = (cand_idx % V).astype(jnp.int32)
+    is_eos = (cand_tok == eos_token_id)
+    lp_denorm = (cur_len.astype(jnp.float32)
+                 if length_penalty == 1.0
+                 else cur_len.astype(jnp.float32) ** length_penalty)
+    lp_denorm = jnp.maximum(lp_denorm, 1.0)
+    tokens_bk = state["tokens"].reshape(B, K, L)
+
+    # ---- commit finished hypotheses (rank < K EOS candidates) ------------
+    eligible = is_eos[:, :K] & running[:, None]
+    hyp_cand_scores = jnp.where(
+        eligible, cand_scores[:, :K] / lp_denorm[:, None], -jnp.inf)
+    parent_tokens = jnp.take_along_axis(tokens_bk, cand_beam[:, :K, None],
+                                        axis=1)
+    hyp_cand_lens = jnp.where(eligible, cur_len[:, None], 0)
+    hyp = _merge_pool(_hyp(state), hyp_cand_scores, parent_tokens,
+                      hyp_cand_lens, K)
+    # frozen (done/inactive) slots keep their pool untouched
+    keep = running
+    hyp = tuple(jnp.where(
+        keep.reshape((B,) + (1,) * (new.ndim - 1)), new, old)
+        for new, old in zip(hyp, _hyp(state)))
+    hyp_count, worst = hyp[3], hyp[4]
+
+    # ---- fill next beam front with the first K non-EOS candidates --------
+    non_eos = ~is_eos
+    slot = jnp.cumsum(non_eos.astype(jnp.int32), axis=1) - 1
+    take = non_eos & (slot < K)
+    wslot = jnp.clip(slot, 0, K - 1)
+    rows = jnp.broadcast_to(b_idx[:, None], (B, 2 * K))
+    nb_scores = jnp.zeros((B, K), jnp.float32).at[rows, wslot].add(
+        jnp.where(take, cand_scores, 0.0))
+    nb_tokens = jnp.zeros((B, K), jnp.int32).at[rows, wslot].add(
+        jnp.where(take, cand_tok, 0))
+    nb_parents = jnp.zeros((B, K), jnp.int32).at[rows, wslot].add(
+        jnp.where(take, cand_beam, 0))
+
+    frozen = ~running
+    nb_scores = jnp.where(frozen[:, None], state["beam_scores"], nb_scores)
+    nb_tokens = jnp.where(frozen[:, None], pad_token_id, nb_tokens)
+    nb_parents = jnp.where(frozen[:, None], 0, nb_parents)
+
+    # ---- done checks (per sample) ----------------------------------------
+    best_sum = cand_scores[:, 0]
+    if early_stopping:
+        newly_done = hyp_count >= K
+    else:
+        newly_done = (hyp_count >= K) & (worst >= best_sum / lp_denorm)
+    newly_done = newly_done & running
+
+    # ---- reorder + append token at per-slot depth ------------------------
+    parent_global = (b_idx[:, None] * K + nb_parents).reshape(BK)
+    parent_global = jnp.where(jnp.repeat(running, K), parent_global,
+                              jnp.arange(BK, dtype=jnp.int32))
+    tokens = jnp.take(state["tokens"], parent_global, axis=0)
+    write_pos = jnp.clip(cur_bk, 0, L - 1)[:, None]
+    tokens = jnp.where(
+        (pos == write_pos) & jnp.repeat(running, K)[:, None],
+        nb_tokens.reshape(BK)[:, None], tokens)
+
+    new_len = jnp.where(running, cur_len + 1, cur_len)
+
+    # ---- final merge for slots that just reached max_length --------------
+    at_end = running & ~newly_done & (new_len >= L)
+    end_denorm = (jnp.float32(L) if length_penalty == 1.0
+                  else jnp.float32(L) ** length_penalty)
+    final_scores = jnp.where(at_end[:, None], nb_scores / end_denorm,
+                             -jnp.inf)
+    final_lens = jnp.where(at_end[:, None], L, 0)
+    hyp2 = _merge_pool(hyp, final_scores, tokens.reshape(B, K, L),
+                       final_lens, K)
+    hyp = tuple(jnp.where(
+        at_end.reshape((B,) + (1,) * (new.ndim - 1)), new, old)
+        for new, old in zip(hyp2, hyp))
+
+    done = state["done"] | newly_done | at_end
+
+    out = dict(state)
+    out["caches"] = caches
+    out["tokens"] = tokens
+    out["ancestry"] = ancestry
+    out["parent"] = parent_global
+    out["beam_scores"] = nb_scores
+    out["cur_len"] = new_len
+    out["done"] = done
+    out["tick"] = state["tick"] + 1
+    return _set_hyp(out, hyp)
+
+
+def build_pool_fns(params, cfg, *, pool_size, num_beams, max_length,
+                   encoder_seq_len, chunk_steps=4, admit_width=8,
+                   length_penalty=1.0, early_stopping=True,
+                   num_return_sequences=1):
+    """Jitted (step_chunk, admit, harvest) closures over static options."""
+    fbias = params.get("final_logits_bias")
+    model = params["model"]
+    eos = cfg.eos_token_id
+    pad = cfg.pad_token_id if cfg.pad_token_id is not None else eos
+    start = (cfg.decoder_start_token_id
+             if cfg.decoder_start_token_id is not None else cfg.bos_token_id)
+    K, L, B = num_beams, max_length, pool_size
+    nrs = num_return_sequences
+
+    step = functools.partial(
+        pool_step, model, cfg, fbias, num_beams=K, max_length=L,
+        length_penalty=length_penalty, early_stopping=early_stopping,
+        eos_token_id=eos, pad_token_id=pad,
+        decoder_start_token_id=start)
+
+    @jax.jit
+    def step_chunk(state):
+        state = jax.lax.fori_loop(0, chunk_steps, lambda _, s: step(s),
+                                  state)
+        return state
+
+    @jax.jit
+    def admit(state, slots, valid, input_ids, attention_mask,
+              image_features):
+        """Admit up to ``admit_width`` requests: encoder prefill +
+        per-slot cache/bookkeeping insert. slots/valid: [A]; inputs
+        [A, E] (+ features); rows with valid=False are ignored."""
+        enc = bart.encode(model, cfg, input_ids, image_features,
+                          attention_mask)
+        dtype = jnp.dtype(cfg.dtype)
+        cross = []
+        for i in range(cfg.decoder_layers):
+            lpar = jax.tree_util.tree_map(lambda a: a[i],
+                                          model["decoder"]["layers"])
+            k = dense(enc, lpar["encoder_attn"]["k_kernel"],
+                      lpar["encoder_attn"]["k_bias"], dtype).astype(dtype)
+            v = dense(enc, lpar["encoder_attn"]["v_kernel"],
+                      lpar["encoder_attn"]["v_bias"], dtype).astype(dtype)
+            cross.append((k, v))
+
+        def insert(a, st):
+            s = slots[a]
+
+            def do(st):
+                st = dict(st)
+                caches = []
+                for i, layer in enumerate(st["caches"]):
+                    layer = dict(layer)
+                    layer["cross_k"] = jax.lax.dynamic_update_slice(
+                        layer["cross_k"], cross[i][0][a][None], (s, 0, 0))
+                    layer["cross_v"] = jax.lax.dynamic_update_slice(
+                        layer["cross_v"], cross[i][1][a][None], (s, 0, 0))
+                    caches.append(layer)
+                st["caches"] = tuple(caches)
+                st["enc_mask"] = jax.lax.dynamic_update_slice(
+                    st["enc_mask"], attention_mask[a][None].astype(jnp.int32),
+                    (s, 0))
+                tok_row = jnp.full((K, L), pad, jnp.int32).at[:, 0].set(start)
+                st["tokens"] = jax.lax.dynamic_update_slice(
+                    st["tokens"], tok_row, (s * K, 0))
+                st["parent"] = jax.lax.dynamic_update_slice(
+                    st["parent"], s * K + jnp.arange(K, dtype=jnp.int32),
+                    (s * K,))
+                st["beam_scores"] = jax.lax.dynamic_update_slice(
+                    st["beam_scores"],
+                    jnp.full((1, K), NEG_1E9, jnp.float32).at[0, 0].set(0.0),
+                    (s, 0))
+                st["hyp_tokens"] = jax.lax.dynamic_update_slice(
+                    st["hyp_tokens"], jnp.full((1, K, L), pad, jnp.int32),
+                    (s, 0, 0))
+                st["hyp_lens"] = jax.lax.dynamic_update_slice(
+                    st["hyp_lens"], jnp.zeros((1, K), jnp.int32), (s, 0))
+                st["hyp_scores"] = jax.lax.dynamic_update_slice(
+                    st["hyp_scores"], jnp.full((1, K), NEG_1E9, jnp.float32),
+                    (s, 0))
+                st["hyp_count"] = jax.lax.dynamic_update_slice(
+                    st["hyp_count"], jnp.zeros((1,), jnp.int32), (s,))
+                st["hyp_worst"] = jax.lax.dynamic_update_slice(
+                    st["hyp_worst"], jnp.full((1,), 1e9, jnp.float32), (s,))
+                st["cur_len"] = jax.lax.dynamic_update_slice(
+                    st["cur_len"], jnp.ones((1,), jnp.int32), (s,))
+                st["done"] = jax.lax.dynamic_update_slice(
+                    st["done"], jnp.zeros((1,), bool), (s,))
+                st["active"] = jax.lax.dynamic_update_slice(
+                    st["active"], jnp.ones((1,), bool), (s,))
+                return st
+
+            return jax.lax.cond(valid[a], do, lambda st: dict(st), st)
+
+        return jax.lax.fori_loop(0, slots.shape[0], insert, dict(state))
+
+    @jax.jit
+    def harvest(state):
+        """(ready [B], tokens [B, nrs, L], lens [B, nrs]) — finalized
+        outputs of done slots (beam.py finalisation: pool already sorted,
+        EOS appended, pad past length)."""
+        sel_tokens = state["hyp_tokens"][:, :nrs]          # [B, nrs, L]
+        sel_lens = state["hyp_lens"][:, :nrs]
+        pos = jnp.arange(L)[None, None, :]
+        lens3 = sel_lens[:, :, None]
+        out = jnp.where((pos == lens3) & (lens3 < L), eos, sel_tokens)
+        out = jnp.where(pos > lens3, pad, out)
+        return state["active"] & state["done"], out, sel_lens
+
+    return step_chunk, admit, harvest
+
+
+class ContinuousGenerationEngine:
+    """Drop-in alternative to serving/engine.py's GenerationEngine with
+    slot-pool continuous batching: same ``submit() -> Future`` surface,
+    single-row requests (multi-row submits split into rows and re-join in
+    one future). Responses keep the compiled max_length width, matching
+    the static engine's trim=False contract."""
+
+    def __init__(self, params, cfg, tokenizer=None, *, pool_size=112,
+                 encoder_seq_len=72, chunk_steps=4, num_beams=5,
+                 max_length=32, early_stopping=True, length_penalty=1.0,
+                 num_return_sequences=1, admit_width=8,
+                 feature_dtype=np.float32):
+        import queue as _queue
+        import threading
+
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.pool_size = pool_size
+        self.encoder_seq_len = encoder_seq_len
+        self.num_return_sequences = num_return_sequences
+        self.max_length = max_length
+        self.feature_dtype = feature_dtype
+        self._admit_width = admit_width
+        pool = dict(pool_size=pool_size, num_beams=num_beams,
+                    max_length=max_length, encoder_seq_len=encoder_seq_len)
+        self._step_chunk, self._admit, self._harvest = build_pool_fns(
+            params, cfg, chunk_steps=chunk_steps,
+            length_penalty=length_penalty, early_stopping=early_stopping,
+            num_return_sequences=num_return_sequences, **pool)
+        self._state = init_pool_state(params["model"], cfg, **pool)
+        self._free = list(range(pool_size))
+        self._slot_req = {}          # slot -> (_Row, row_index)
+        self._queue = _queue.Queue()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    # -- public ----------------------------------------------------------
+
+    def submit(self, input_ids, attention_mask=None, image_features=None):
+        from concurrent.futures import Future
+
+        input_ids = np.atleast_2d(np.asarray(input_ids, np.int32))
+        n = input_ids.shape[0]
+        if attention_mask is None:
+            attention_mask = (input_ids != self.cfg.pad_token_id
+                              ).astype(np.int32)
+        req = _PoolRequest(n, self.num_return_sequences, self.max_length,
+                           self.cfg.pad_token_id)
+        for i in range(n):
+            feats = (None if image_features is None
+                     else np.asarray(image_features[i:i + 1],
+                                     self.feature_dtype))
+            self._queue.put((req, i, input_ids[i:i + 1],
+                             np.asarray(attention_mask[i:i + 1], np.int32),
+                             feats))
+        return req.future
+
+    def generate_text(self, text, **kw):
+        enc = self.tokenizer.encode(text)
+        out = self.submit(np.asarray([enc], np.int32), **kw).result()
+        return [self.tokenizer.decode(row, skip_special_tokens=True)
+                for row in out]
+
+    def shutdown(self):
+        self._stop.set()
+        self._thread.join(timeout=10)
+
+    # -- internals -------------------------------------------------------
+
+    def _pad_row(self, ids, mask):
+        E = self.encoder_seq_len
+        w = min(ids.shape[1], E)
+        pid = self.cfg.pad_token_id
+        out_ids = np.full((1, E), pid, np.int32)
+        out_mask = np.zeros((1, E), np.int32)
+        out_ids[:, :w] = ids[:, :w]
+        out_mask[:, :w] = mask[:, :w]
+        return out_ids, out_mask
+
+    def _loop(self):
+        import queue as _queue
+        import time as _time
+
+        cfg = self.cfg
+        A = self._admit_width
+        E = self.encoder_seq_len
+        F = (cfg.max_img_num, cfg.image_feature_size)
+        while not self._stop.is_set():
+            # 1) admit queued requests into free slots (batched to A,
+            #    never more than the free-slot count — overflow stays
+            #    queued for the next chunk boundary)
+            admits = []
+            while len(admits) < min(A, len(self._free)):
+                try:
+                    admits.append(self._queue.get_nowait())
+                except _queue.Empty:
+                    break
+            if admits:
+                ids = np.full((A, E), cfg.pad_token_id, np.int32)
+                mask = np.zeros((A, E), np.int32)
+                feats = np.zeros((A,) + F, np.float32)
+                slots = np.zeros((A,), np.int32)
+                valid = np.zeros((A,), bool)
+                for a, (req, row, r_ids, r_mask, r_feats) in \
+                        enumerate(admits):
+                    s = self._free.pop()
+                    slots[a] = s
+                    valid[a] = True
+                    p_ids, p_mask = self._pad_row(r_ids, r_mask)
+                    ids[a], mask[a] = p_ids[0], p_mask[0]
+                    if r_feats is not None:
+                        f = np.asarray(r_feats, np.float32)[0]
+                        feats[a, :f.shape[0]] = f[:F[0]]
+                    self._slot_req[s] = (req, row)
+                self._state = self._admit(
+                    self._state, jnp.asarray(slots), jnp.asarray(valid),
+                    jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(feats))
+            if not self._slot_req:
+                _time.sleep(0.001)
+                continue
+            # 2) advance the pool one chunk and harvest finished slots
+            try:
+                self._state = self._step_chunk(self._state)
+                ready, out, _ = jax.device_get(self._harvest(self._state))
+            except Exception as e:  # surface errors through the futures
+                for s in list(self._slot_req):
+                    req, _ = self._slot_req.pop(s)
+                    self._free.append(s)
+                    if not req.future.done():
+                        req.future.set_exception(e)
+                continue
+            for s in list(self._slot_req):
+                if ready[s]:
+                    req, row = self._slot_req.pop(s)
+                    self._free.append(s)
+                    try:
+                        req.deliver(row, out[s])
+                    except Exception:  # pragma: no cover
+                        pass
+
+
+class _PoolRequest:
+    """Re-joins the per-row results of one submit into a single future
+    resolving to [n * num_return_sequences, max_length]."""
+
+    def __init__(self, n_rows, nrs, max_length, pad_token_id):
+        from concurrent.futures import Future
+        import threading
+
+        self.future = Future()
+        self._lock = threading.Lock()
+        self._remaining = n_rows
+        self._out = np.full((n_rows * nrs, max_length),
+                            pad_token_id, np.int32)
+        self._nrs = nrs
+
+    def deliver(self, row, tokens_nrs_L):
+        with self._lock:
+            self._out[row * self._nrs:(row + 1) * self._nrs] = tokens_nrs_L
+            self._remaining -= 1
+            finished = self._remaining == 0
+        if finished and not self.future.done():
+            self.future.set_result(self._out)

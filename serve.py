@@ -29,15 +29,26 @@ def main(args):
                  if args.tokenizer_dir else None)
     cfg, params, _ = load_pretrained(args.checkpoint, init_conditional_params,
                                      strict=False)
-    engine = GenerationEngine(
-        params, cfg, tokenizer=tokenizer,
-        max_batch_size=args.max_batch_size,
-        encoder_seq_len=args.encoder_seq_len,
-        max_wait_ms=args.max_wait_ms,
-        batch_buckets=(tuple(int(b) for b in args.batch_buckets.split(","))
-                       if args.batch_buckets else None),
-        num_beams=args.num_beams, max_length=args.max_length,
-        early_stopping=True)
+    if args.continuous:
+        from kmbart_tpu.serving.continuous import ContinuousGenerationEngine
+        engine = ContinuousGenerationEngine(
+            params, cfg, tokenizer=tokenizer,
+            pool_size=args.pool_size,
+            encoder_seq_len=args.encoder_seq_len,
+            chunk_steps=args.chunk_steps,
+            num_beams=args.num_beams, max_length=args.max_length,
+            early_stopping=True)
+    else:
+        engine = GenerationEngine(
+            params, cfg, tokenizer=tokenizer,
+            max_batch_size=args.max_batch_size,
+            encoder_seq_len=args.encoder_seq_len,
+            max_wait_ms=args.max_wait_ms,
+            batch_buckets=(tuple(int(b)
+                                 for b in args.batch_buckets.split(","))
+                           if args.batch_buckets else None),
+            num_beams=args.num_beams, max_length=args.max_length,
+            early_stopping=True)
     logger.info(f"Serving on http://{args.host}:{args.port}", pad=True)
     try:
         serve(engine, host=args.host, port=args.port, block=True)
@@ -61,6 +72,15 @@ def parse_args():
     parser.add_argument("--max_wait_ms", default=5.0, type=float)
     parser.add_argument("--num_beams", default=5, type=int)
     parser.add_argument("--max_length", default=32, type=int)
+    parser.add_argument("--continuous", action="store_true",
+                        help="slot-pool continuous batching "
+                             "(serving/continuous.py): requests admit into "
+                             "finished rows of the in-flight pool at chunk "
+                             "granularity instead of bucket coalescing")
+    parser.add_argument("--pool_size", default=112, type=int,
+                        help="in-flight slot count for --continuous")
+    parser.add_argument("--chunk_steps", default=4, type=int,
+                        help="decode steps per pool chunk for --continuous")
     parser.add_argument("--cpu", action="store_true")
     return parser.parse_args()
 

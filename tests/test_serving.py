@@ -171,3 +171,40 @@ def test_engine_under_load(tiny_cfg, np_rng):
             assert (out[:, 0] == cfg.decoder_start_token_id).all()
     finally:
         engine.shutdown()
+
+
+def test_continuous_engine_resolves_and_matches(tiny_cfg, np_rng):
+    """ContinuousGenerationEngine: submit -> future surface, outputs equal
+    the solo generate() result (trim=False width), multi-row re-join."""
+    from kmbart_tpu.generation.api import generate
+    from kmbart_tpu.serving.continuous import ContinuousGenerationEngine
+
+    cfg = tiny_cfg.replace(dtype="float32")
+    params = init_conditional_params(jax.random.PRNGKey(0), cfg)
+    # admit_width > pool_size: regression for the admit drain popping
+    # more requests than free slots (killed the loop thread)
+    engine = ContinuousGenerationEngine(
+        params, cfg, pool_size=4, encoder_seq_len=16, chunk_steps=2,
+        num_beams=2, max_length=8, early_stopping=True, admit_width=8)
+    try:
+        futures = []
+        for i in range(6):  # > pool_size: exercises slot turnover
+            ids = np_rng.integers(4, 80, (1, 6 + (i % 3))).astype(np.int32)
+            futures.append((ids, engine.submit(ids)))
+        for ids, fut in futures:
+            out = fut.result(timeout=180)
+            assert out.shape == (1, 8)
+            padded = np.full((1, 16), cfg.pad_token_id, np.int32)
+            padded[:, :ids.shape[1]] = ids
+            mask = (padded != cfg.pad_token_id).astype(np.int32)
+            solo = generate(params, cfg,
+                            {"input_ids": padded, "attention_mask": mask},
+                            max_length=8, num_beams=2, early_stopping=True,
+                            trim=False)
+            np.testing.assert_array_equal(out, solo)
+
+        ids = np_rng.integers(4, 80, (3, 7)).astype(np.int32)
+        out = engine.submit(ids).result(timeout=180)
+        assert out.shape == (3, 8)
+    finally:
+        engine.shutdown()
