@@ -27,17 +27,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 ENC_LEN, DEC_LEN = 72, 40
 
 
+def _set_variant_env(variant):
+    os.environ.pop("KMBART_NO_FUSED_CE", None)
+    os.environ.pop("KMBART_FUSED_CE_MODE", None)
+    if variant == "composite":
+        os.environ["KMBART_NO_FUSED_CE"] = "1"
+    else:
+        os.environ["KMBART_FUSED_CE_MODE"] = variant
+
+
 def build(jax, cfg, variant, batch):
     from kmbart_tpu.models.conditional import conditional_loss
     from kmbart_tpu.parallel.train_step import build_train_step
     from kmbart_tpu.training.adamw import adamw
 
-    os.environ.pop("KMBART_NO_FUSED_CE", None)
-    os.environ.pop("KMBART_FUSED_CE_RECOMPUTE", None)
-    if variant == "composite":
-        os.environ["KMBART_NO_FUSED_CE"] = "1"
-    elif variant == "recompute":
-        os.environ["KMBART_FUSED_CE_RECOMPUTE"] = "1"
+    _set_variant_env(variant)
 
     def loss_fn(p, b, r):
         loss, _ = conditional_loss(p, cfg, b, train=True, rng=r)
@@ -50,12 +54,7 @@ def grad_probe(jax, cfg, variant, params, batch):
     """loss + grad-norm^2 with dropout off (deterministic comparison)."""
     from kmbart_tpu.models.conditional import conditional_loss
 
-    os.environ.pop("KMBART_NO_FUSED_CE", None)
-    os.environ.pop("KMBART_FUSED_CE_RECOMPUTE", None)
-    if variant == "composite":
-        os.environ["KMBART_NO_FUSED_CE"] = "1"
-    elif variant == "recompute":
-        os.environ["KMBART_FUSED_CE_RECOMPUTE"] = "1"
+    _set_variant_env(variant)
 
     def f(p, b):
         return conditional_loss(p, cfg, b, train=False)[0]
@@ -101,16 +100,15 @@ def main():
     })
     key = jax.random.PRNGKey(0)
 
+    variants = ("composite", "bwd", "fwdbwd", "nomat")
     # numerics first (fresh replicated params each probe)
     dev_params = jax.device_put(params)
     base_loss, base_gn2 = grad_probe(jax, cfg, "composite", dev_params, batch)
-    for v in ("fused", "recompute"):
+    for v in variants[1:]:
         loss, gn2 = grad_probe(jax, cfg, v, dev_params, batch)
         print(f"# numerics {v}: loss rel {abs(loss-base_loss)/abs(base_loss):.2e}"
               f"  gradnorm2 rel {abs(gn2-base_gn2)/abs(base_gn2):.2e}",
               flush=True)
-
-    variants = ("composite", "fused", "recompute")
     steps = {}
     for v in variants:
         # IMPORTANT: the variant env flags are read at TRACE time, so the

@@ -190,6 +190,90 @@ def _fwd_stats_kernel(h_ref, w_ref, fbias_ref, labels_ref, m_ref, se_ref,
         ll_ref[...] = run_ll_ref[...]
 
 
+def _fwd_project_stats_kernel(h_ref, w_ref, fbias_ref, labels_ref,
+                              logits_ref, m_ref, se_ref, ll_ref,
+                              run_m_ref, run_se_ref, run_ll_ref,
+                              *, vocab, tile_v, logits_dtype):
+    """Hybrid forward: ONE pass computes the projection tile on the MXU,
+    writes the bf16 logits (the backward's residual), and folds the CE
+    max/sum-exp/label-logit statistics in-VMEM.
+
+    This is the slice the round-5 itemization exposed: the composite
+    forward's CE statistics do NOT fuse into the head matmul (contrary to
+    the round-4 reading) — they are the 1.71 + 1.01 + 0.68 ms trio of
+    separate full-logits passes in BOTH the composite and the
+    fused-backward step profiles. Here they cost zero extra HBM traffic.
+    """
+    j = pl.program_id(1)
+    col0 = j * tile_v
+    logits = jax.lax.dot_general(
+        h_ref[...], w_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    logits = logits + fbias_ref[...].astype(jnp.float32)
+    rounded = logits.astype(logits_dtype)
+    logits_ref[...] = rounded
+    lf = rounded.astype(jnp.float32)
+    tn, tv = lf.shape
+    cols = col0 + jax.lax.broadcasted_iota(jnp.int32, (tn, tv), 1)
+    in_range = cols < vocab
+    lf = jnp.where(in_range, lf, NEG)
+    tile_m = jnp.max(lf, axis=1, keepdims=True)
+    onehot = cols == labels_ref[...]
+    tile_ll = jnp.sum(jnp.where(onehot, lf, 0.0), axis=1, keepdims=True)
+    has_label = jnp.any(onehot, axis=1, keepdims=True)
+
+    @pl.when(j == 0)
+    def _():
+        run_m_ref[...] = tile_m
+        run_se_ref[...] = jnp.sum(jnp.exp(lf - tile_m), axis=1,
+                                  keepdims=True)
+        run_ll_ref[...] = jnp.where(has_label, tile_ll, 0.0)
+
+    @pl.when(j > 0)
+    def _():
+        m_old = run_m_ref[...]
+        m_new = jnp.maximum(m_old, tile_m)
+        run_se_ref[...] = (run_se_ref[...] * jnp.exp(m_old - m_new)
+                           + jnp.sum(jnp.exp(lf - m_new), axis=1,
+                                     keepdims=True))
+        run_m_ref[...] = m_new
+        run_ll_ref[...] = run_ll_ref[...] + jnp.where(has_label, tile_ll,
+                                                      0.0)
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _():
+        m_ref[...] = run_m_ref[...]
+        se_ref[...] = run_se_ref[...]
+        ll_ref[...] = run_ll_ref[...]
+
+
+def _fwd_project_stats_call(h_b, w_b, fbias, labels, tile_v, logits_dtype,
+                            interpret):
+    n, d = h_b.shape
+    vocab = w_b.shape[0]
+    tn = _pick_tile_n(n)
+    grid = (n // tn, pl.cdiv(vocab, tile_v))
+    kernel = functools.partial(_fwd_project_stats_kernel, vocab=vocab,
+                               tile_v=tile_v, logits_dtype=logits_dtype)
+    col = pl.BlockSpec((tn, 1), lambda i, j: (i, 0))
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tn, d), lambda i, j: (i, 0)),
+            pl.BlockSpec((tile_v, d), lambda i, j: (j, 0)),
+            pl.BlockSpec((1, tile_v), lambda i, j: (0, j)),
+            col,
+        ],
+        out_specs=[pl.BlockSpec((tn, tile_v), lambda i, j: (i, j)),
+                   col, col, col],
+        out_shape=[jax.ShapeDtypeStruct((n, vocab), logits_dtype)]
+        + [jax.ShapeDtypeStruct((n, 1), jnp.float32)] * 3,
+        scratch_shapes=[pltpu.VMEM((tn, 1), jnp.float32)] * 3,
+        interpret=interpret,
+    )(h_b, w_b, fbias, labels)
+
+
 def _pick_tile_n(n):
     for tn in (512, 256, 128, 64, 32, 16, 8):
         if n % tn == 0:
@@ -299,9 +383,17 @@ def _project(h_b, w_b, fbias):
 
 
 @functools.lru_cache(maxsize=None)
-def _fused_nll_fn(tile_v, interpret, recompute):
+def _fused_nll_fn(tile_v, interpret, mode):
     """Cached custom-VJP builder keyed on the static knobs (same pattern
-    as pallas_train_attention._train_attention_fn)."""
+    as pallas_train_attention._train_attention_fn). ``mode``:
+
+      "bwd"    — XLA forward (logits materialized + XLA stat reduces),
+                 fused Pallas backward
+      "nomat"  — Pallas forward stats + recompute backward; [N, V] logits
+                 never reach HBM
+      "fwdbwd" — hybrid: ONE Pallas forward pass does projection +
+                 logits write + stats, fused Pallas backward reads them
+    """
 
     def fwd_materialized(h_b, w_b, fbias, safe_labels, valid):
         logits = _project(h_b, w_b, fbias)
@@ -310,6 +402,16 @@ def _fused_nll_fn(tile_v, interpret, recompute):
         se = jnp.sum(jnp.exp(lf - m[:, None]), axis=-1)
         ll = jnp.take_along_axis(logits, safe_labels[:, None],
                                  axis=-1)[:, 0].astype(jnp.float32)
+        nll = jnp.sum(jnp.where(valid, jnp.log(se) + m - ll, 0.0))
+        return nll, (h_b, w_b, logits, m, se, safe_labels, valid)
+
+    def fwd_fwdbwd(h_b, w_b, fbias, safe_labels, valid):
+        n = h_b.shape[0]
+        labels2 = safe_labels.reshape(n, 1).astype(jnp.int32)
+        fbias2 = fbias.reshape(1, -1).astype(jnp.float32)
+        logits, m, se, ll = _fwd_project_stats_call(
+            h_b, w_b, fbias2, labels2, tile_v, h_b.dtype, interpret)
+        m, se, ll = m[:, 0], se[:, 0], ll[:, 0]
         nll = jnp.sum(jnp.where(valid, jnp.log(se) + m - ll, 0.0))
         return nll, (h_b, w_b, logits, m, se, safe_labels, valid)
 
@@ -349,8 +451,9 @@ def _fused_nll_fn(tile_v, interpret, recompute):
             preferred_element_type=jnp.float32)
         return dh_b, dw_b.astype(w_b.dtype), None, None, None
 
-    fwd = fwd_nomat if recompute else fwd_materialized
-    bwd = bwd_nomat if recompute else bwd_materialized
+    fwd = {"bwd": fwd_materialized, "nomat": fwd_nomat,
+           "fwdbwd": fwd_fwdbwd}[mode]
+    bwd = bwd_nomat if mode == "nomat" else bwd_materialized
 
     @jax.custom_vjp
     def f(h_b, w_b, fbias, safe_labels, valid):
@@ -387,7 +490,7 @@ def fused_lm_ce_supported(hidden, vocab_size, d_model):
 
 def fused_lm_ce(hidden, shared, final_logits_bias, labels, *,
                 ignore_index=-100, dtype=jnp.bfloat16, recompute=None,
-                tile_v=DEFAULT_TILE_V, interpret=False):
+                mode=None, tile_v=DEFAULT_TILE_V, interpret=False):
     """Drop-in fusion of ``lm_logits`` + ``cross_entropy_ignore_index``.
 
     hidden [..., D]; shared [V, D] (tied embedding, fp32 master);
@@ -395,14 +498,16 @@ def fused_lm_ce(hidden, shared, final_logits_bias, labels, *,
     models/bart.py:637-640); labels [...] int. Returns (mean_loss, n) with
     the composite path's masked-mean semantics.
 
-    ``recompute``: True = never materialize [N, V] logits (blockwise
-    Pallas forward + recompute backward); False = XLA forward (logits
-    materialized bf16 as today) + fused Pallas backward. Default from
-    ``KMBART_FUSED_CE_RECOMPUTE`` (unset -> False, the round-5 measured
-    winner — see BASELINE.md).
+    ``mode`` (see _fused_nll_fn): "fwdbwd" (default — the round-5
+    measured winner, BASELINE.md), "bwd", or "nomat". Overridable via
+    ``KMBART_FUSED_CE_MODE``; ``recompute=True`` is kept as an alias for
+    "nomat".
     """
-    if recompute is None:
-        recompute = os.environ.get("KMBART_FUSED_CE_RECOMPUTE") == "1"
+    if mode is None:
+        if recompute is not None:
+            mode = "nomat" if recompute else "bwd"
+        else:
+            mode = os.environ.get("KMBART_FUSED_CE_MODE", "fwdbwd")
     d = hidden.shape[-1]
     n = 1
     for s in hidden.shape[:-1]:
@@ -413,7 +518,7 @@ def fused_lm_ce(hidden, shared, final_logits_bias, labels, *,
     valid = labels2 != ignore_index
     safe = jnp.where(valid, labels2, 0)
     fbias = jax.lax.stop_gradient(final_logits_bias)
-    fn = _fused_nll_fn(int(tile_v), bool(interpret), bool(recompute))
+    fn = _fused_nll_fn(int(tile_v), bool(interpret), str(mode))
     nll = fn(h2, w_b, fbias, safe, valid)
     cnt = jnp.sum(valid)
     return nll / jnp.maximum(cnt, 1), cnt

@@ -37,12 +37,12 @@ def _inputs(np_rng, B=4, T=16, D=128, V=2500):
     return hidden, shared, fbias, jnp.asarray(labels)
 
 
-@pytest.mark.parametrize("recompute", [False, True])
-def test_fused_matches_composite(np_rng, recompute):
+@pytest.mark.parametrize("mode", ["bwd", "nomat", "fwdbwd"])
+def test_fused_matches_composite(np_rng, mode):
     hidden, shared, fbias, labels = _inputs(np_rng)
 
     def fused(h, w, fb, lab):
-        loss, _ = fused_lm_ce(h, w, fb, lab, recompute=recompute,
+        loss, _ = fused_lm_ce(h, w, fb, lab, mode=mode,
                               tile_v=512, interpret=True)
         return loss
 
@@ -60,10 +60,19 @@ def test_fused_matches_composite(np_rng, recompute):
 
 
 @pytest.mark.parametrize("recompute", [False, True])
-def test_vocab_divides_tile_exactly(np_rng, recompute):
+def test_recompute_alias(np_rng, recompute):
     hidden, shared, fbias, labels = _inputs(np_rng, V=1024)
     loss, n = fused_lm_ce(hidden, shared, fbias, labels,
                           recompute=recompute, tile_v=512, interpret=True)
+    ref = _composite_loss(hidden, shared, fbias, labels)
+    np.testing.assert_allclose(float(loss), float(ref), rtol=1e-5)
+
+
+@pytest.mark.parametrize("mode", ["bwd", "nomat", "fwdbwd"])
+def test_vocab_divides_tile_exactly(np_rng, mode):
+    hidden, shared, fbias, labels = _inputs(np_rng, V=1024)
+    loss, n = fused_lm_ce(hidden, shared, fbias, labels,
+                          mode=mode, tile_v=512, interpret=True)
     ref = _composite_loss(hidden, shared, fbias, labels)
     np.testing.assert_allclose(float(loss), float(ref), rtol=1e-5)
     assert int(n) == int(jnp.sum(labels != -100))
