@@ -27,6 +27,7 @@ Parity target: HF 3.0.2 SelfAttention used by the reference
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -167,9 +168,46 @@ def _specs(b_dummy, tq, tk, d):
     ]
 
 
+def _head_group(num_heads):
+    """Heads handled per grid program.
+
+    Default: all heads in one program (grid = (B,), the BART-base-winning
+    layout). ``KMBART_FUSED_ATTN_GROUP=<G>`` splits the head loop across a
+    second grid axis — each program covers G heads via a D-column BlockSpec
+    slice — so high-head-count models (BART-large: 16) trade per-program
+    loop length for pipelined grid steps. Read at TRACE time."""
+    g = int(os.environ.get("KMBART_FUSED_ATTN_GROUP", "0"))
+    if g <= 0 or g >= num_heads or num_heads % g != 0:
+        return num_heads
+    return g
+
+
+def _grouped_specs(tq, tk, d_blk):
+    return [
+        pl.BlockSpec((1, tq, d_blk), lambda i, j: (i, 0, j)),
+        pl.BlockSpec((1, tk, d_blk), lambda i, j: (i, 0, j)),
+        pl.BlockSpec((1, tk, d_blk), lambda i, j: (i, 0, j)),
+        pl.BlockSpec((1, 1, tk), lambda i, j: (i, 0, 0)),
+    ]
+
+
 def _fwd_call(q, k, v, key_bias, num_heads, causal, interpret):
     B, Tq, D = q.shape
     Tk = k.shape[1]
+    group = _head_group(num_heads)
+    if group != num_heads:
+        hd = D // num_heads
+        kernel = functools.partial(_fwd_kernel, num_heads=group,
+                                   causal=causal)
+        return pl.pallas_call(
+            kernel,
+            grid=(B, num_heads // group),
+            in_specs=_grouped_specs(Tq, Tk, group * hd),
+            out_specs=pl.BlockSpec((1, Tq, group * hd),
+                                   lambda i, j: (i, 0, j)),
+            out_shape=jax.ShapeDtypeStruct((B, Tq, D), q.dtype),
+            interpret=interpret,
+        )(q, k, v, key_bias)
     kernel = functools.partial(_fwd_kernel, num_heads=num_heads,
                                causal=causal)
     return pl.pallas_call(
@@ -185,6 +223,30 @@ def _fwd_call(q, k, v, key_bias, num_heads, causal, interpret):
 def _bwd_call(q, k, v, key_bias, g, num_heads, causal, interpret):
     B, Tq, D = q.shape
     Tk = k.shape[1]
+    group = _head_group(num_heads)
+    if group != num_heads:
+        hd = D // num_heads
+        d_blk = group * hd
+        kernel = functools.partial(_bwd_kernel, num_heads=group,
+                                   causal=causal)
+        specs = _grouped_specs(Tq, Tk, d_blk)
+        specs.append(pl.BlockSpec((1, Tq, d_blk), lambda i, j: (i, 0, j)))
+        return pl.pallas_call(
+            kernel,
+            grid=(B, num_heads // group),
+            in_specs=specs,
+            out_specs=[
+                pl.BlockSpec((1, Tq, d_blk), lambda i, j: (i, 0, j)),
+                pl.BlockSpec((1, Tk, d_blk), lambda i, j: (i, 0, j)),
+                pl.BlockSpec((1, Tk, d_blk), lambda i, j: (i, 0, j)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, Tq, D), q.dtype),
+                jax.ShapeDtypeStruct((B, Tk, D), k.dtype),
+                jax.ShapeDtypeStruct((B, Tk, D), v.dtype),
+            ],
+            interpret=interpret,
+        )(q, k, v, key_bias, g)
     kernel = functools.partial(_bwd_kernel, num_heads=num_heads,
                                causal=causal)
     specs = _specs(B, Tq, Tk, D)
@@ -344,8 +406,9 @@ def train_attention_supported(q_len, k_len, head_dim, num_heads,
     (short-sequence regime; the long-sequence kernel in
     ops/pallas_attention.py covers the rest).
 
-    ``KMBART_NO_FUSED_ATTN=1`` disables the kernel (A/B / escape hatch)."""
-    import os
+    ``KMBART_NO_FUSED_ATTN=1`` disables the kernel (A/B / escape hatch);
+    ``KMBART_FUSED_ATTN_HEADS_MAX=<N>`` overrides the head-count cap
+    (A/B at BART-large's 16 heads — benchmarks/large_attn_ab.py)."""
     if os.environ.get("KMBART_NO_FUSED_ATTN") == "1":
         return False
     if jax.default_backend() != "tpu":
@@ -360,11 +423,13 @@ def train_attention_supported(q_len, k_len, head_dim, num_heads,
         return False
     if q_len > 256 or k_len > 256:
         return False
-    if num_heads > 12:
+    if num_heads > int(os.environ.get("KMBART_FUSED_ATTN_HEADS_MAX", "12")):
         # measured on v5e: BART-base (12 heads) wins 65.2 -> 63.4 ms/step,
         # but BART-large (16 heads, batch 64) LOSES ~2% (108.1 -> 110.2 ms
         # both reps, _exp/large_ab) — the per-head dot issue overhead grows
-        # with head count while the composite einsum stays one batched op
+        # with head count while the composite einsum stays one batched op.
+        # Round-5 re-measurement incl. the head-grouped grid variant:
+        # benchmarks/large_attn_ab.py + BASELINE.md round-5.
         return False
     return (q_len % 8 == 0 and k_len % 8 == 0 and head_dim % 8 == 0
             and head_dim * num_heads % 128 == 0)

@@ -197,6 +197,27 @@ def test_fused_partitions_on_mesh(np_rng):
     check(tp, P("data", None, "model"), expect_zero_ag=True)
 
 
+def test_grouped_grid_matches_composite(np_rng, monkeypatch):
+    """KMBART_FUSED_ATTN_GROUP splits the head loop across a second grid
+    axis (the BART-large layout candidate) — forward and gradients must
+    match the composite path exactly like the single-program layout."""
+    q, k, v = _flat_qkv(np_rng, B=2, Tq=16, H=4, hd=8)
+    mask = np.ones((2, 16), np.int32)
+    mask[1, -5:] = 0
+    monkeypatch.setenv("KMBART_FUSED_ATTN_GROUP", "2")
+    # fresh trace under the env flag: bypass any jit caching via direct call
+    ref = _composite(q, k, v, mask, H=4, causal=True)
+    out = train_attention_flat(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                               jnp.asarray(mask), num_heads=4, causal=True,
+                               interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-6)
+    g1, g2 = _grad_pair(q, k, v, mask, H=4, causal=True)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
 def test_fused_gate():
     # CPU backend -> never selected (the suite keeps testing the XLA path)
     assert not train_attention_supported(16, 16, 64, 12, 0.0, True)
