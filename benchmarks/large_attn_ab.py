@@ -80,8 +80,10 @@ def bench_isolated(jax, iters, reps):
             lambda q_, k_, v_: composite_attention(q_, k_, v_, mask,
                                                    HEADS, causal))}
         for group in (16, 8, 4, 2):
-            os.environ["KMBART_FUSED_ATTN_GROUP"] = (
-                "" if group == HEADS else str(group))
+            if group == HEADS:
+                os.environ.pop("KMBART_FUSED_ATTN_GROUP", None)
+            else:
+                os.environ["KMBART_FUSED_ATTN_GROUP"] = str(group)
             # fresh jit per group: the env var is read at trace time
             fn = make(lambda q_, k_, v_, c=causal: train_attention_flat(
                 q_, k_, v_, mask, num_heads=HEADS, causal=c))

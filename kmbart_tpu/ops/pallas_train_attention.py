@@ -176,7 +176,7 @@ def _head_group(num_heads):
     second grid axis — each program covers G heads via a D-column BlockSpec
     slice — so high-head-count models (BART-large: 16) trade per-program
     loop length for pipelined grid steps. Read at TRACE time."""
-    g = int(os.environ.get("KMBART_FUSED_ATTN_GROUP", "0"))
+    g = int(os.environ.get("KMBART_FUSED_ATTN_GROUP") or "0")
     if g <= 0 or g >= num_heads or num_heads % g != 0:
         return num_heads
     return g
