@@ -473,11 +473,11 @@ def bench_serving(target_rate, secs=12.0, engine="static",
         if engine == "continuous":
             # pre-compile admit + chunk + harvest
             eng.submit(rng.integers(
-                4, 50000, (1, ENC_LEN)).astype(np.int32)).result()
+                4, 50000, (1, ENC_LEN)).astype(np.int32)).result(timeout=600)
         else:
             for b in (112, 160):  # pre-compile every bucket
                 eng.submit(rng.integers(
-                    4, 50000, (b, ENC_LEN)).astype(np.int32)).result()
+                    4, 50000, (b, ENC_LEN)).astype(np.int32)).result(timeout=600)
         ids_pool = rng.integers(4, 50000, (256, ENC_LEN)).astype(np.int32)
         lat, lock = [], threading.Lock()
         gaps = rng.exponential(1.0 / target_rate,

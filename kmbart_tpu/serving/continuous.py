@@ -248,9 +248,15 @@ def build_pool_fns(params, cfg, *, pool_size, num_beams, max_length,
                    encoder_seq_len, chunk_steps=4, admit_width=8,
                    length_penalty=1.0, early_stopping=True,
                    num_return_sequences=1):
-    """Jitted (step_chunk, admit, harvest) closures over static options."""
-    fbias = params.get("final_logits_bias")
-    model = params["model"]
+    """Jitted (step_chunk, admit, harvest) over static options.
+
+    ``params`` is NOT closed over: step_chunk/admit take it as a
+    call-time argument. Closure-captured weights lower as HLO constants,
+    and the embedded [V, D] literals blow past the axon tunnel's
+    remote-compile body limit (HTTP 413) — and would be re-baked into
+    every recompile. The pool ``state`` argument is donated so each
+    chunk updates the ~0.5 GB cache/bookkeeping buffers in place instead
+    of allocating a fresh copy per call."""
     eos = cfg.eos_token_id
     pad = cfg.pad_token_id if cfg.pad_token_id is not None else eos
     start = (cfg.decoder_start_token_id
@@ -258,21 +264,23 @@ def build_pool_fns(params, cfg, *, pool_size, num_beams, max_length,
     K, L, B = num_beams, max_length, pool_size
     nrs = num_return_sequences
 
-    step = functools.partial(
-        pool_step, model, cfg, fbias, num_beams=K, max_length=L,
-        length_penalty=length_penalty, early_stopping=early_stopping,
-        eos_token_id=eos, pad_token_id=pad,
-        decoder_start_token_id=start)
+    def step(prm, state):
+        return pool_step(
+            prm["model"], cfg, prm.get("final_logits_bias"), state,
+            num_beams=K, max_length=L, length_penalty=length_penalty,
+            early_stopping=early_stopping, eos_token_id=eos,
+            pad_token_id=pad, decoder_start_token_id=start)
 
-    @jax.jit
-    def step_chunk(state):
-        state = jax.lax.fori_loop(0, chunk_steps, lambda _, s: step(s),
-                                  state)
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def step_chunk(prm, state):
+        state = jax.lax.fori_loop(0, chunk_steps,
+                                  lambda _, s: step(prm, s), state)
         return state
 
-    @jax.jit
-    def admit(state, slots, valid, input_ids, attention_mask,
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def admit(prm, state, slots, valid, input_ids, attention_mask,
               image_features):
+        model = prm["model"]
         """Admit up to ``admit_width`` requests: encoder prefill +
         per-slot cache/bookkeeping insert. slots/valid: [A]; inputs
         [A, E] (+ features); rows with valid=False are ignored."""
@@ -386,6 +394,8 @@ class ContinuousGenerationEngine:
             params, cfg, chunk_steps=chunk_steps,
             length_penalty=length_penalty, early_stopping=early_stopping,
             num_return_sequences=num_return_sequences, **pool)
+        self._pool_kwargs = pool
+        self._params_dev = jax.device_put(params)
         self._state = init_pool_state(params["model"], cfg, **pool)
         self._free = list(range(pool_size))
         self._slot_req = {}          # slot -> (_Row, row_index)
@@ -472,15 +482,28 @@ class ContinuousGenerationEngine:
                         f = np.asarray(r_feats, np.float32)[0]
                         feats[a, :f.shape[0]] = f[:F[0]]
                     self._slot_req[s] = (req, row)
-                self._state = self._admit(
-                    self._state, jnp.asarray(slots), jnp.asarray(valid),
-                    jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(feats))
+                try:
+                    self._state = self._admit(
+                        self._params_dev, self._state, jnp.asarray(slots),
+                        jnp.asarray(valid), jnp.asarray(ids),
+                        jnp.asarray(mask), jnp.asarray(feats))
+                except Exception as e:  # fail the futures, keep serving:
+                    # the donated state is consumed, so in-flight slots
+                    # are lost along with the admitted ones
+                    for s in list(self._slot_req):
+                        req, _ = self._slot_req.pop(s)
+                        if not req.future.done():
+                            req.future.set_exception(e)
+                    self._state = init_pool_state(
+                        self.params["model"], cfg, **self._pool_kwargs)
+                    self._free = list(range(self.pool_size))
+                    continue
             if not self._slot_req:
                 _time.sleep(0.001)
                 continue
             # 2) advance the pool one chunk and harvest finished slots
             try:
-                self._state = self._step_chunk(self._state)
+                self._state = self._step_chunk(self._params_dev, self._state)
                 ready, out, _ = jax.device_get(self._harvest(self._state))
             except Exception as e:  # surface errors through the futures
                 for s in list(self._slot_req):
@@ -488,6 +511,10 @@ class ContinuousGenerationEngine:
                     self._free.append(s)
                     if not req.future.done():
                         req.future.set_exception(e)
+                # the failed call may have consumed the donated state
+                self._state = init_pool_state(self.params["model"], cfg,
+                                              **self._pool_kwargs)
+                self._free = list(range(self.pool_size))
                 continue
             for s in list(self._slot_req):
                 if ready[s]:

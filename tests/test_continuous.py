@@ -66,12 +66,21 @@ def _admit_one(admit, state, slot, req):
                  jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(feats))
 
 
+def _bound_pool_fns(params, cfg, **kw):
+    """build_pool_fns with params bound (the fns take them per call so
+    the weights are jit arguments, not baked HLO constants)."""
+    import functools
+    step_chunk, admit, harvest = build_pool_fns(params, cfg, **kw)
+    return (functools.partial(step_chunk, params),
+            functools.partial(admit, params), harvest)
+
+
 def test_pool_matches_generate_same_tick(setup, np_rng):
     cfg, params = setup
     B = 3
     pool = {"pool_size": B, "num_beams": K, "max_length": L,
             "encoder_seq_len": E}
-    step_chunk, admit, harvest = build_pool_fns(
+    step_chunk, admit, harvest = _bound_pool_fns(
         params, cfg, chunk_steps=3, **pool)
     state = init_pool_state(params["model"], cfg, **pool)
     reqs = _requests(cfg, np_rng, B)
@@ -94,7 +103,7 @@ def test_pool_matches_generate_staggered(setup, np_rng):
     B = 2
     pool = {"pool_size": B, "num_beams": K, "max_length": L,
             "encoder_seq_len": E}
-    step_chunk, admit, harvest = build_pool_fns(
+    step_chunk, admit, harvest = _bound_pool_fns(
         params, cfg, chunk_steps=2, **pool)
     state = init_pool_state(params["model"], cfg, **pool)
     reqs = _requests(cfg, np_rng, 3)
@@ -131,7 +140,7 @@ def test_pool_inactive_slots_are_inert(setup, np_rng):
     B = 2
     pool = {"pool_size": B, "num_beams": K, "max_length": L,
             "encoder_seq_len": E}
-    step_chunk, admit, harvest = build_pool_fns(
+    step_chunk, admit, harvest = _bound_pool_fns(
         params, cfg, chunk_steps=2, **pool)
     state = init_pool_state(params["model"], cfg, **pool)
     reqs = _requests(cfg, np_rng, 1)
