@@ -297,56 +297,57 @@ def build_pool_fns(params, cfg, *, pool_size, num_beams, max_length,
                       lpar["encoder_attn"]["v_bias"], dtype).astype(dtype)
             cross.append((k, v))
 
-        def insert(a, st):
-            s = slots[a]
-
-            def do(st):
-                st = dict(st)
-                caches = []
-                for i, layer in enumerate(st["caches"]):
-                    layer = dict(layer)
-                    layer["cross_k"] = jax.lax.dynamic_update_slice(
-                        layer["cross_k"], cross[i][0][a][None], (s, 0, 0))
-                    layer["cross_v"] = jax.lax.dynamic_update_slice(
-                        layer["cross_v"], cross[i][1][a][None], (s, 0, 0))
-                    caches.append(layer)
-                st["caches"] = tuple(caches)
-                st["enc_mask"] = jax.lax.dynamic_update_slice(
-                    st["enc_mask"], attention_mask[a][None].astype(jnp.int32),
-                    (s, 0))
-                tok_row = jnp.full((K, L), pad, jnp.int32).at[:, 0].set(start)
-                st["tokens"] = jax.lax.dynamic_update_slice(
-                    st["tokens"], tok_row, (s * K, 0))
-                st["parent"] = jax.lax.dynamic_update_slice(
-                    st["parent"], s * K + jnp.arange(K, dtype=jnp.int32),
-                    (s * K,))
-                st["beam_scores"] = jax.lax.dynamic_update_slice(
-                    st["beam_scores"],
-                    jnp.full((1, K), NEG_1E9, jnp.float32).at[0, 0].set(0.0),
-                    (s, 0))
-                st["hyp_tokens"] = jax.lax.dynamic_update_slice(
-                    st["hyp_tokens"], jnp.full((1, K, L), pad, jnp.int32),
-                    (s, 0, 0))
-                st["hyp_lens"] = jax.lax.dynamic_update_slice(
-                    st["hyp_lens"], jnp.zeros((1, K), jnp.int32), (s, 0))
-                st["hyp_scores"] = jax.lax.dynamic_update_slice(
-                    st["hyp_scores"], jnp.full((1, K), NEG_1E9, jnp.float32),
-                    (s, 0))
-                st["hyp_count"] = jax.lax.dynamic_update_slice(
-                    st["hyp_count"], jnp.zeros((1,), jnp.int32), (s,))
-                st["hyp_worst"] = jax.lax.dynamic_update_slice(
-                    st["hyp_worst"], jnp.full((1,), 1e9, jnp.float32), (s,))
-                st["cur_len"] = jax.lax.dynamic_update_slice(
-                    st["cur_len"], jnp.ones((1,), jnp.int32), (s,))
-                st["done"] = jax.lax.dynamic_update_slice(
-                    st["done"], jnp.zeros((1,), bool), (s,))
-                st["active"] = jax.lax.dynamic_update_slice(
-                    st["active"], jnp.ones((1,), bool), (s,))
-                return st
-
-            return jax.lax.cond(valid[a], do, lambda st: dict(st), st)
-
-        return jax.lax.fori_loop(0, slots.shape[0], insert, dict(state))
+        # One vectorised masked scatter — no per-row loop/cond. (The
+        # first version looped lax.cond(valid[a], ...) over rows; each
+        # cond branch rebuilt the full ~0.5 GB state, so XLA copied the
+        # big cache buffers per admitted row: measured 5.5 ms/row on
+        # chip. Scatters with out-of-range indices dropped update the
+        # donated buffers in place at any admit width.)
+        A = slots.shape[0]
+        B = pool_size
+        st = dict(state)
+        s_eff = jnp.where(valid, slots, B)                # invalid -> drop
+        caches = []
+        for i, layer in enumerate(st["caches"]):
+            layer = dict(layer)
+            layer["cross_k"] = layer["cross_k"].at[s_eff].set(
+                cross[i][0], mode="drop")
+            layer["cross_v"] = layer["cross_v"].at[s_eff].set(
+                cross[i][1], mode="drop")
+            caches.append(layer)
+        st["caches"] = tuple(caches)
+        st["enc_mask"] = st["enc_mask"].at[s_eff].set(
+            attention_mask.astype(jnp.int32), mode="drop")
+        # [A*K]-row fields: beam k of slot s lives at row s*K + k
+        bk_eff = jnp.where(valid[:, None], slots[:, None] * K
+                           + jnp.arange(K, dtype=jnp.int32)[None, :],
+                           B * K).reshape(-1)
+        tok_rows = jnp.broadcast_to(
+            jnp.full((L,), pad, jnp.int32).at[0].set(start), (A * K, L))
+        st["tokens"] = st["tokens"].at[bk_eff].set(tok_rows, mode="drop")
+        st["parent"] = st["parent"].at[bk_eff].set(
+            bk_eff.astype(jnp.int32), mode="drop")
+        st["beam_scores"] = st["beam_scores"].at[s_eff].set(
+            jnp.broadcast_to(
+                jnp.full((K,), NEG_1E9, jnp.float32).at[0].set(0.0), (A, K)),
+            mode="drop")
+        st["hyp_tokens"] = st["hyp_tokens"].at[s_eff].set(
+            jnp.full((A, K, L), pad, jnp.int32), mode="drop")
+        st["hyp_lens"] = st["hyp_lens"].at[s_eff].set(
+            jnp.zeros((A, K), jnp.int32), mode="drop")
+        st["hyp_scores"] = st["hyp_scores"].at[s_eff].set(
+            jnp.full((A, K), NEG_1E9, jnp.float32), mode="drop")
+        st["hyp_count"] = st["hyp_count"].at[s_eff].set(
+            jnp.zeros((A,), jnp.int32), mode="drop")
+        st["hyp_worst"] = st["hyp_worst"].at[s_eff].set(
+            jnp.full((A,), 1e9, jnp.float32), mode="drop")
+        st["cur_len"] = st["cur_len"].at[s_eff].set(
+            jnp.ones((A,), jnp.int32), mode="drop")
+        st["done"] = st["done"].at[s_eff].set(
+            jnp.zeros((A,), bool), mode="drop")
+        st["active"] = st["active"].at[s_eff].set(
+            jnp.ones((A,), bool), mode="drop")
+        return st
 
     @jax.jit
     def harvest(state):
@@ -374,7 +375,7 @@ class ContinuousGenerationEngine:
     def __init__(self, params, cfg, tokenizer=None, *, pool_size=112,
                  encoder_seq_len=72, chunk_steps=4, num_beams=5,
                  max_length=32, early_stopping=True, length_penalty=1.0,
-                 num_return_sequences=1, admit_width=8,
+                 num_return_sequences=1, admit_width=32,
                  feature_dtype=np.float32):
         import queue as _queue
         import threading
@@ -448,27 +449,80 @@ class ContinuousGenerationEngine:
         return out_ids, out_mask
 
     def _loop(self):
+        """Engine loop, pipelined against a high-latency device link.
+
+        The first version fetched the harvest synchronously every chunk
+        (admit -> chunk -> device_get), so each iteration paid the full
+        host<->device round trip (~70 ms over the axon tunnel) on top of
+        the ~33 ms chunk compute, and admission was capped at ONE
+        admit_width batch per iteration: measured ~53 req/s sustained vs
+        the static engine's ~500. Three fixes, each load-bearing:
+
+        * drain-admit: keep admitting batches of ``admit_width`` until
+          the queue or the free list is empty, not one batch per chunk;
+        * deferred harvest: dispatch chunk k+1 before fetching chunk k's
+          harvest (depth-2 pipeline + copy_to_host_async), so the fetch
+          round trip overlaps the next chunk's compute;
+        * device-cached zero features: text-only admits reuse one
+          device-resident zero [A, N_img, F] buffer instead of shipping
+          ~8 MB of host zeros per admit over the link.
+
+        Deferred harvests need a staleness guard: slot s freed at fetch
+        time may already be re-admitted, and an in-flight harvest
+        dispatched BEFORE that admission still reports the old request's
+        output for s. Each admission records the sequence number of the
+        next chunk (``_slot_seq``); a harvest dispatched at chunk hseq
+        only delivers slot s if ``_slot_seq[s] <= hseq``."""
         import queue as _queue
         import time as _time
+        from collections import deque
 
         cfg = self.cfg
         A = self._admit_width
         E = self.encoder_seq_len
         F = (cfg.max_img_num, cfg.image_feature_size)
+        zero_feats = jax.device_put(np.zeros((A,) + F, np.float32))
+        pending = deque()   # (hseq, harvest handles)
+        seq = 0             # sequence number of the NEXT chunk
+        self._slot_seq = {}
+
+        def fail_all(e):
+            for s in list(self._slot_req):
+                req, _ = self._slot_req.pop(s)
+                if not req.future.done():
+                    req.future.set_exception(e)
+            self._slot_seq.clear()
+            pending.clear()
+            self._state = init_pool_state(self.params["model"], cfg,
+                                          **self._pool_kwargs)
+            self._free = list(range(self.pool_size))
+
+        def resolve(hseq, handles):
+            ready, out, _ = jax.device_get(handles)
+            for s in list(self._slot_req):
+                if ready[s] and self._slot_seq.get(s, 1 << 62) <= hseq:
+                    req, row = self._slot_req.pop(s)
+                    self._slot_seq.pop(s, None)
+                    self._free.append(s)
+                    try:
+                        req.deliver(row, out[s])
+                    except Exception:  # pragma: no cover
+                        pass
+
         while not self._stop.is_set():
-            # 1) admit queued requests into free slots (batched to A,
-            #    never more than the free-slot count — overflow stays
-            #    queued for the next chunk boundary)
-            admits = []
-            while len(admits) < min(A, len(self._free)):
-                try:
-                    admits.append(self._queue.get_nowait())
-                except _queue.Empty:
+            # 1) drain the queue into free slots, <= admit_width per call
+            while self._free:
+                admits = []
+                while len(admits) < min(A, len(self._free)):
+                    try:
+                        admits.append(self._queue.get_nowait())
+                    except _queue.Empty:
+                        break
+                if not admits:
                     break
-            if admits:
                 ids = np.full((A, E), cfg.pad_token_id, np.int32)
                 mask = np.zeros((A, E), np.int32)
-                feats = np.zeros((A,) + F, np.float32)
+                feats = None
                 slots = np.zeros((A,), np.int32)
                 valid = np.zeros((A,), bool)
                 for a, (req, row, r_ids, r_mask, r_feats) in \
@@ -479,51 +533,49 @@ class ContinuousGenerationEngine:
                     p_ids, p_mask = self._pad_row(r_ids, r_mask)
                     ids[a], mask[a] = p_ids[0], p_mask[0]
                     if r_feats is not None:
+                        if feats is None:
+                            feats = np.zeros((A,) + F, np.float32)
                         f = np.asarray(r_feats, np.float32)[0]
                         feats[a, :f.shape[0]] = f[:F[0]]
                     self._slot_req[s] = (req, row)
+                    self._slot_seq[s] = seq
+                feats_dev = zero_feats if feats is None else jnp.asarray(feats)
                 try:
                     self._state = self._admit(
                         self._params_dev, self._state, jnp.asarray(slots),
                         jnp.asarray(valid), jnp.asarray(ids),
-                        jnp.asarray(mask), jnp.asarray(feats))
+                        jnp.asarray(mask), feats_dev)
                 except Exception as e:  # fail the futures, keep serving:
                     # the donated state is consumed, so in-flight slots
                     # are lost along with the admitted ones
-                    for s in list(self._slot_req):
-                        req, _ = self._slot_req.pop(s)
-                        if not req.future.done():
-                            req.future.set_exception(e)
-                    self._state = init_pool_state(
-                        self.params["model"], cfg, **self._pool_kwargs)
-                    self._free = list(range(self.pool_size))
-                    continue
+                    fail_all(e)
+                    break
             if not self._slot_req:
+                while pending:  # nothing in flight; flush stale fetches
+                    pending.popleft()
                 _time.sleep(0.001)
                 continue
-            # 2) advance the pool one chunk and harvest finished slots
+            # 2) advance one chunk; fetch the PREVIOUS chunk's harvest
+            #    while this one computes
             try:
                 self._state = self._step_chunk(self._params_dev, self._state)
-                ready, out, _ = jax.device_get(self._harvest(self._state))
-            except Exception as e:  # surface errors through the futures
-                for s in list(self._slot_req):
-                    req, _ = self._slot_req.pop(s)
-                    self._free.append(s)
-                    if not req.future.done():
-                        req.future.set_exception(e)
-                # the failed call may have consumed the donated state
-                self._state = init_pool_state(self.params["model"], cfg,
-                                              **self._pool_kwargs)
-                self._free = list(range(self.pool_size))
-                continue
-            for s in list(self._slot_req):
-                if ready[s]:
-                    req, row = self._slot_req.pop(s)
-                    self._free.append(s)
+                handles = self._harvest(self._state)
+                for h in jax.tree_util.tree_leaves(handles):
                     try:
-                        req.deliver(row, out[s])
-                    except Exception:  # pragma: no cover
-                        pass
+                        h.copy_to_host_async()
+                    except Exception:  # platform without async host copy
+                        break
+                pending.append((seq, handles))
+                seq += 1
+                if len(pending) >= 2:
+                    resolve(*pending.popleft())
+                elif self._queue.empty() and len(self._slot_req) <= A:
+                    # near-idle pool: don't hold results a chunk longer
+                    # than needed for latency's sake
+                    resolve(*pending.popleft())
+            except Exception as e:  # surface errors through the futures
+                fail_all(e)
+                continue
 
 
 class _PoolRequest:
