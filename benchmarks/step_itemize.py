@@ -37,6 +37,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+_INST_RE = re.compile(
+    # name = <shape tokens, incl. TPU tiled layouts like {2,1,0:T(8,128)}
+    # and tuple shapes — skipped as WHOLE whitespace-delimited tokens,
+    # since layout annotations contain ':'/'('/')'> opcode(
+    r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*(?:\S+\s+)*?([a-z][\w\-]*)\(")
+_HDR_RE = re.compile(r"^\s*(?:ENTRY\s+)?%?([\w.\-]+)\s*(\(.*\))\s*->")
+
+
 def classify_hlo(hlo_text):
     """Map executed-op name -> bucket, from optimized HLO text.
 
@@ -48,21 +56,20 @@ def classify_hlo(hlo_text):
     comp_ops = {}
     cur = None
     for line in hlo_text.splitlines():
-        m = re.match(r"\s*(?:ENTRY\s+)?%?([\w.\-]+)\s*\([^)]*\)\s*->", line)
+        m = _HDR_RE.match(line)
         if m and "=" not in line.split("->")[0]:
             cur = m.group(1)
             comp_ops.setdefault(cur, set())
             continue
         if cur is None:
             continue
-        m = re.search(r"=\s*[\w\[\],{}:\s]*?\b([a-z][\w\-]*)\(", line)
+        m = _INST_RE.match(line)
         if m:
-            comp_ops[cur].add(m.group(1))
+            comp_ops[cur].add(m.group(2))
     # instruction name -> bucket
     inst_bucket = {}
     for line in hlo_text.splitlines():
-        m = re.match(r"\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*[\w\[\],{}\s/]*?\b"
-                     r"([a-z][\w\-]*)\(", line)
+        m = _INST_RE.match(line)
         if not m:
             continue
         name, op = m.groups()
@@ -93,9 +100,11 @@ V5E_PEAK_TFS = 197.0  # bf16 MXU peak, TF/s (bench.py V5E_PEAK_FLOPS)
 _DEF_RE = re.compile(r"\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*"
                      r"(\w+)\[([\d,]*)\]")
 _PARAM_RE = re.compile(r"([\w.\-]+):\s*(\w+)\[([\d,]*)\]")
-_COMP_RE = re.compile(r"\s*(?:ENTRY\s+)?%?([\w.\-]+)\s*(\([^)]*\))\s*->")
+_COMP_RE = _HDR_RE
 _OPND_RE = re.compile(r"\bdot\(\s*%?([\w.\-]+)\s*,\s*%?([\w.\-]+)")
 _LHS_C_RE = re.compile(r"lhs_contracting_dims=\{([\d,]+)\}")
+_CONV_OPND_RE = re.compile(r"\bconvolution\(\s*%?([\w.\-]+)\s*,\s*%?([\w.\-]+)")
+_DIMLBL_RE = re.compile(r"dim_labels=([\w?]+)_([\w?]+)->([\w?]+)")
 
 
 def _dims(s):
@@ -133,6 +142,40 @@ def _dot_flops(line, scope):
     return 2.0 * out_elems * k, tag
 
 
+def _conv_flops(line, scope):
+    """FLOPs + shape tag for one optimized-HLO convolution line.
+
+    The TPU backend canonicalizes every dot_general into a convolution
+    (``dim_labels=b0f_io0->b0f``, window size 1), so matmuls appear as
+    convs in on-chip HLO. Contracted extent = rhs 'i' dim x the kernel
+    spatial dims (labels '0','1',... in the rhs label string); FLOPs =
+    2 x out_elems x k covers both matmuls-as-convs and real convs.
+    """
+    md = _DEF_RE.match(line)
+    mo = _CONV_OPND_RE.search(line)
+    ml = _DIMLBL_RE.search(line)
+    if not (md and mo and ml):
+        return None
+    rhs = scope.get(mo.group(2))
+    lhs = scope.get(mo.group(1))
+    if rhs is None:
+        return None
+    rhs_lbl = ml.group(2)
+    if len(rhs_lbl) != len(rhs[1]):
+        return None
+    k = 1
+    for pos, ch in enumerate(rhs_lbl):
+        if ch == "i" or ch.isdigit():
+            k *= rhs[1][pos]
+    out_elems = 1
+    for d_ in _dims(md.group(3)):
+        out_elems *= d_
+    ltag = f"{lhs[0]}[{','.join(map(str, lhs[1]))}]" if lhs else "?"
+    tag = (f"{ltag}x[{','.join(map(str, rhs[1]))}]"
+           f"->[{md.group(3)}]")
+    return 2.0 * out_elems * k, tag
+
+
 def matmul_details(hlo_text):
     """instruction name -> (dot FLOPs summed over the fusion body, shape
     tags) for every matmul-bearing fusion / top-level dot."""
@@ -151,15 +194,15 @@ def matmul_details(hlo_text):
         md = _DEF_RE.match(line)
         if md:
             scope[md.group(1)] = (md.group(2), _dims(md.group(3)))
-        if cur is not None and " dot(" in line:
-            d = _dot_flops(line, scope)
+        if cur is not None and (" dot(" in line or " convolution(" in line):
+            d = (_dot_flops(line, scope) if " dot(" in line
+                 else _conv_flops(line, scope))
             if d and md:
                 comp_dots[cur].append(d)
                 inst_dots[md.group(1)] = d
     details = {}
     for line in hlo_text.splitlines():
-        m = re.match(r"\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*[\w\[\],{}\s/]*?\b"
-                     r"([a-z][\w\-]*)\(", line)
+        m = _INST_RE.match(line)
         if not m:
             continue
         name, op = m.groups()
@@ -169,10 +212,24 @@ def matmul_details(hlo_text):
             if dots:
                 details[name] = (sum(f for f, _ in dots),
                                  [t for _, t in dots])
-        elif op == "dot" and name in inst_dots:
+        elif op in ("dot", "convolution") and name in inst_dots:
             f, t = inst_dots[name]
             details[name] = (f, [t])
     return details
+
+
+def all_instruction_names(hlo_text):
+    """Every instruction name defined anywhere in the module — used to
+    gate the fuzzy joins: an executed-op name that IS a real HLO
+    instruction must only ever match itself (a non-matmul
+    convert_reduce_fusion.133 must not inherit convert_reduce_fusion's
+    FLOPs via the base-name fallback)."""
+    names = set()
+    for line in hlo_text.splitlines():
+        m = _INST_RE.match(line)
+        if m:
+            names.add(m.group(1))
+    return names
 
 
 def build_step(jax, batch):
@@ -228,6 +285,7 @@ def main():
     # returns a jitted callable, so .lower() reflects the real step)
     hlo = step.lower(state, dev_batch, key).compile().as_text()
     inst_bucket = classify_hlo(hlo)
+    known = all_instruction_names(hlo)
 
     state, m = step(state, dev_batch, key)
     float(m["loss"])  # compile + warm
@@ -244,12 +302,16 @@ def main():
 
     buckets, unmatched = {}, 0.0
     for name, us, cnt in rows:
-        base = name.split(".")[0] if name not in inst_bucket else name
-        b = inst_bucket.get(name) or inst_bucket.get(base)
-        if b is None:
-            # executed-op names may carry suffixes; try prefix match
-            hits = [v for k, v in inst_bucket.items() if name.startswith(k)]
-            b = hits[0] if hits else None
+        b = inst_bucket.get(name)
+        if b is None and name not in known:
+            # fuzzy matches only for names the HLO doesn't define
+            # (xplane display suffixes); '.'-boundary, never prefix-of-
+            # a-different-number (fusion.247 must NOT match fusion.24)
+            b = inst_bucket.get(name.split(".")[0])
+            if b is None:
+                hits = [v for k, v in inst_bucket.items()
+                        if name.startswith(k + ".")]
+                b = hits[0] if hits else None
         if b is None:
             unmatched += us
             b = "other"
@@ -273,10 +335,13 @@ def main():
         details = matmul_details(hlo)
         ranked = []
         for name, us, cnt in rows:
-            hit = details.get(name) or details.get(name.split(".")[0])
-            if hit is None:
-                cands = [v for k, v in details.items() if name.startswith(k)]
-                hit = cands[0] if cands else None
+            hit = details.get(name)
+            if hit is None and name not in known:
+                hit = details.get(name.split(".")[0])
+                if hit is None:
+                    cands = [v for k, v in details.items()
+                             if name.startswith(k + ".")]
+                    hit = cands[0] if cands else None
             if hit is None:
                 continue
             flops, tags = hit
@@ -295,8 +360,11 @@ def main():
                   f"{tag[:90]}  [{name[:40]}]")
         tot = sum(r[1] for r in ranked)
         ideal = sum(r[1] - r[0] for r in ranked)
-        print(f"  matmul total {tot:.2f} ms, ideal-at-peak {ideal:.2f} ms "
-              f"-> slice efficiency {100 * ideal / tot:.1f}%")
+        if tot:
+            print(f"  matmul total {tot:.2f} ms, ideal-at-peak {ideal:.2f} ms "
+                  f"-> slice efficiency {100 * ideal / tot:.1f}%")
+        else:
+            print("  [no matmul fusions joined — HLO parse failure?]")
 
 
 if __name__ == "__main__":
