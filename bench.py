@@ -45,6 +45,14 @@ TRAIN_POINTS = ((32, 1), (128, 1), (512, 4))  # round-3 also swept 192
 # decode on the reference's era GPU (V100-class), sentences/sec.
 REFERENCE_GPU_ESTIMATE = 45.0
 
+# Frozen torch-CPU anchor (round-4 verdict #8): the live torch-CPU
+# denominator shares this contended 1-CPU host and swings >±30% even
+# thread-pinned + median-of-3 (measured 1.32 / 1.09 / 0.79 sent/s across
+# round-4/5 runs while the TPU numerator held ±0.5%), so the TRENDABLE
+# ratio divides by this recorded least-contended median instead;
+# vs_torch_cpu stays live for drift attribution only.
+TORCH_CPU_ANCHOR_SENT_PER_SEC = 1.32
+
 # v5e bf16 peak matmul throughput, FLOP/s
 V5E_PEAK_FLOPS = 197e12
 
@@ -160,9 +168,24 @@ def bench_large():
     cfg = bart_large_config()
     rng = np.random.default_rng(0)
     out = {}
+    params = jax.device_put(init_conditional_params(jax.random.PRNGKey(0), cfg))
+
+    # --- beam-5 decode (FIRST: the train step donates its state, which
+    # owns these param arrays — decoding after would read deleted arrays) --
+    dbatch = _decode_batch(jax, cfg, LARGE_DECODE_BATCH, rng)
+    kwargs = dict(max_length=MAX_LEN, num_beams=BEAMS, early_stopping=True,
+                  rng=jax.device_put(jax.random.PRNGKey(0)))
+    generate(params, cfg, dbatch, **kwargs)  # compile + warmup
+    n_iters = 5
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        generate(params, cfg, dbatch, **kwargs)
+    dt = time.perf_counter() - t0
+    out["large_decode_sent_per_sec"] = round(
+        LARGE_DECODE_BATCH * n_iters / dt, 2)
+    del dbatch
 
     # --- train at the accumulation recipe ---------------------------------
-    params = init_conditional_params(jax.random.PRNGKey(0), cfg)
 
     def loss_fn(p, b, r):
         loss, _ = conditional_loss(p, cfg, b, train=True, rng=r)
@@ -198,21 +221,6 @@ def bench_large():
     out["large_train_samples_per_sec"] = round(tput, 2)
     out["large_train_mfu"] = round(
         tput * train_flops_per_sample(cfg) / V5E_PEAK_FLOPS, 4)
-    del state, batch
-
-    # --- beam-5 decode ----------------------------------------------------
-    params = jax.device_put(params)
-    dbatch = _decode_batch(jax, cfg, LARGE_DECODE_BATCH, rng)
-    kwargs = dict(max_length=MAX_LEN, num_beams=BEAMS, early_stopping=True,
-                  rng=jax.device_put(jax.random.PRNGKey(0)))
-    generate(params, cfg, dbatch, **kwargs)  # compile + warmup
-    n_iters = 5
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        generate(params, cfg, dbatch, **kwargs)
-    dt = time.perf_counter() - t0
-    out["large_decode_sent_per_sec"] = round(
-        LARGE_DECODE_BATCH * n_iters / dt, 2)
     return out
 
 
@@ -615,6 +623,8 @@ def main():
         record.update(large)
     if host_loader:
         record["host_samples_per_sec"] = round(host_loader, 2)
+    record["vs_torch_cpu_anchored"] = round(
+        tput / TORCH_CPU_ANCHOR_SENT_PER_SEC, 2)
     if torch_cpu:
         record["vs_torch_cpu"] = round(tput / torch_cpu, 2)
         record["torch_cpu_sent_per_sec"] = round(torch_cpu, 2)
