@@ -298,6 +298,12 @@ def make_mesh_from_args(args):
     n = len(jax.devices())
     mp = max(1, args.model_parallel)
     pp_stages = max(1, getattr(args, 'pipeline_stages', 1))
+    if mp > 1 or pp_stages > 1:
+        # the fused FFN kernel's row-parallel custom_partitioning would
+        # all-gather the F-sharded Megatron weights under TP, and the
+        # shard_map pipeline body bypasses custom_partitioning entirely —
+        # keep the composite (natively TP-sharded) FFN there
+        os.environ.setdefault('KMBART_NO_FUSED_FFN', '1')
     if pp_stages > 1:
         if getattr(args, 'sequence_parallel', False):
             raise ValueError('--pipeline_stages cannot be combined with '

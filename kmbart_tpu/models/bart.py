@@ -202,10 +202,22 @@ def _res_ln(residual, h, ln):
 
 def _residual_ffn(x, lp, cfg, rngs, train, dtype, act):
     residual = x
-    h = dense(x, lp["fc1_kernel"], lp["fc1_bias"], dtype)
-    h = act(h)
-    h = dropout(h, cfg.activation_dropout, rngs.get("act"), train)
-    h = dense(h, lp["fc2_kernel"], lp["fc2_bias"], dtype)
+    # fused Pallas fc1->gelu->fc2 on the hot path: the round-5 itemization
+    # measured the composite FFN fusions at 53-63% of MXU peak
+    # (epilogue-bound); the kernel keeps the [rows, ffn_dim] intermediate
+    # in VMEM both directions (ops/pallas_ffn.py)
+    from kmbart_tpu.ops.pallas_ffn import fused_ffn, fused_ffn_supported
+    if fused_ffn_supported(
+            x.shape[0] * x.shape[1], x.shape[-1], lp["fc1_kernel"].shape[-1],
+            cfg.activation_function, cfg.activation_dropout, train,
+            dtype=dtype):
+        h = fused_ffn(x.astype(dtype), lp["fc1_kernel"], lp["fc1_bias"],
+                      lp["fc2_kernel"], lp["fc2_bias"])
+    else:
+        h = dense(x, lp["fc1_kernel"], lp["fc1_bias"], dtype)
+        h = act(h)
+        h = dropout(h, cfg.activation_dropout, rngs.get("act"), train)
+        h = dense(h, lp["fc2_kernel"], lp["fc2_bias"], dtype)
     h = dropout(h, cfg.dropout, rngs.get("ffn"), train)
     return _res_ln(residual, h, lp["final_layer_norm"])
 
